@@ -1,6 +1,11 @@
 """Test configuration: force an 8-virtual-device CPU platform so sharding /
 collective paths (DP/TP/SP) are testable without a TPU pod, per the survey's
-test strategy (SURVEY.md §4)."""
+test strategy (SURVEY.md §4).
+
+Note: this environment's axon sitecustomize pins JAX_PLATFORMS=axon, so the
+env var alone is not enough — jax.config must be updated explicitly before
+any backend initialization.
+"""
 
 import os
 
@@ -8,3 +13,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

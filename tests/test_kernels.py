@@ -1,0 +1,77 @@
+"""Golden tests: Pallas attention kernels vs the jnp/XLA reference
+implementation (SURVEY.md §4: "unit tests per module, kernels vs jnp
+reference").  Runs in Pallas interpreter mode on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_torch_tpu.ops.attention import _xla_attention, dot_product_attention
+from vit_torch_tpu.ops.flash_attention import flash_attention
+
+
+def _qkv(B=2, N=145, H=3, D=32, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.normal(0, 1, (B, N, H, D)), dtype)
+    return mk(), mk(), mk()
+
+
+@pytest.mark.parametrize("N", [128, 145, 257])
+def test_flash_forward_matches_xla(N):
+    q, k, v = _qkv(N=N)
+    ours = flash_attention(q, k, v)
+    ref = _xla_attention(q, k, v, scale=q.shape[-1] ** -0.5)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_flash_backward_matches_xla():
+    q, k, v = _qkv(N=130)
+    scale = q.shape[-1] ** -0.5
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale=scale) ** 2)
+
+    g_ours = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-3,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_flash_bf16_runs():
+    q, k, v = _qkv(N=128, dtype=jnp.bfloat16)
+    out = flash_attention(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    ref = _xla_attention(q, k, v, scale=q.shape[-1] ** -0.5)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=3e-2)
+
+
+def test_dispatcher_uses_xla_on_cpu():
+    q, k, v = _qkv(N=64)
+    out = dot_product_attention(q, k, v)
+    ref = _xla_attention(q, k, v, scale=q.shape[-1] ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_xla_attention_bias_and_mask():
+    q, k, v = _qkv(N=16)
+    B, N, H, D = q.shape
+    bias = jnp.zeros((1, H, N, N)).at[..., 0].set(-1e9)
+    out = _xla_attention(q, k, v, scale=1.0, bias=bias)
+    # key 0 fully suppressed -> output independent of v[:, 0]
+    v2 = v.at[:, 0].set(99.0)
+    out2 = _xla_attention(q, k, v2, scale=1.0, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+    mask = jnp.ones((1, 1, N, N), bool).at[..., 1].set(False)
+    m1 = _xla_attention(q, k, v, scale=1.0, mask=mask)
+    m2 = _xla_attention(q, k, v.at[:, 1].set(-50.0), scale=1.0, mask=mask)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-5)

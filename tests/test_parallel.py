@@ -1,0 +1,110 @@
+"""Tests for mesh construction, partition rules, and the sharded train path.
+
+Runs on the 8-virtual-device CPU platform set up in conftest.py — the
+multihost-simulation strategy from SURVEY.md §4.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from vit_torch_tpu.models import VisionModelZoo
+from vit_torch_tpu.parallel.mesh import make_mesh, parse_mesh_spec
+from vit_torch_tpu.parallel.partition import partition_specs, validate_divisibility
+from vit_torch_tpu.parallel.api import shard_batch, shard_train_fns
+from vit_torch_tpu.train import create_train_state, get_optimizer
+
+
+def test_parse_mesh_spec():
+    assert parse_mesh_spec("", 8) == (8, 1, 1)
+    assert parse_mesh_spec("data=4,model=2", 8) == (4, 2, 1)
+    assert parse_mesh_spec("data=-1,model=2", 8) == (4, 2, 1)
+    with pytest.raises(ValueError):
+        parse_mesh_spec("data=3", 8)
+    with pytest.raises(ValueError):
+        parse_mesh_spec("bogus=8", 8)
+
+
+def test_make_mesh_axes():
+    mesh = make_mesh("data=2,model=4")
+    assert mesh.axis_names == ("data", "model", "seq")
+    assert mesh.devices.shape == (2, 4, 1)
+
+
+def test_partition_rules_match_attention_and_mlp():
+    params = {
+        "backbone": {
+            "blocks_0": {
+                "attn": {"qkv": {"kernel": jnp.zeros((64, 192)),
+                                 "bias": jnp.zeros(192)},
+                         "proj": {"kernel": jnp.zeros((64, 64)),
+                                  "bias": jnp.zeros(64)}},
+                "mlp": {"fc1": {"kernel": jnp.zeros((64, 256)),
+                                "bias": jnp.zeros(256)},
+                        "fc2": {"kernel": jnp.zeros((256, 64)),
+                                "bias": jnp.zeros(64)}},
+                "norm1": {"scale": jnp.zeros(64), "bias": jnp.zeros(64)},
+            }
+        }
+    }
+    specs = partition_specs(params)
+    blk = specs["backbone"]["blocks_0"]
+    assert blk["attn"]["qkv"]["kernel"] == P(None, "model")
+    assert blk["attn"]["proj"]["kernel"] == P("model", None)
+    assert blk["mlp"]["fc1"]["kernel"] == P(None, "model")
+    assert blk["mlp"]["fc2"]["kernel"] == P("model", None)
+    assert blk["norm1"]["scale"] == P()
+
+
+def test_validate_divisibility_downgrades():
+    mesh = make_mesh("data=2,model=4")
+    params = {"attn": {"qkv": {"kernel": jnp.zeros((64, 6))}}}  # 6 % 4 != 0
+    specs = partition_specs(params)
+    specs = validate_divisibility(params, specs, mesh)
+    assert specs["attn"]["qkv"]["kernel"] == P()
+
+
+def _run_sharded(mesh_spec, bs=16, n_devices=None):
+    devices = jax.devices()[:n_devices] if n_devices else None
+    mesh = make_mesh(mesh_spec, devices=devices)
+    zm = VisionModelZoo.get_model("vit_tiny_test", classifier=[10],
+                                  image_size=16, dtype=jnp.float32)
+    variables = zm.init(jax.random.PRNGKey(0), image_size=16)
+    tx = get_optimizer("sgd", lr=0.05)
+    state = create_train_state(jax.random.PRNGKey(1), variables["params"], tx)
+    train_step, eval_step, state = shard_train_fns(
+        zm.model.apply, tx, state, mesh)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.normal(0, 1, (bs, 16, 16, 3)).astype(np.float32),
+        "label": rng.integers(0, 10, bs).astype(np.int32),
+        "mask": np.ones(bs, np.float32),
+    }
+    batch = shard_batch(batch, mesh)
+    losses = []
+    for _ in range(3):
+        state, m = train_step(state, batch)
+        losses.append(float(m["loss_sum"]) / float(m["count"]))
+    ev = eval_step(state, batch)
+    return losses, float(ev["count"])
+
+
+def test_data_parallel_train_step():
+    losses, count = _run_sharded("data=8")
+    assert losses[-1] < losses[0]
+    assert count == 16.0
+
+
+def test_tensor_parallel_train_step():
+    losses, count = _run_sharded("data=2,model=4")
+    assert losses[-1] < losses[0]
+    assert count == 16.0
+
+
+def test_dp_and_single_device_agree():
+    """The SPMD program must be numerically equivalent to single-device."""
+    losses_dp, _ = _run_sharded("data=8")
+    losses_1, _ = _run_sharded("data=1", n_devices=1)
+    np.testing.assert_allclose(losses_dp, losses_1, rtol=2e-4)

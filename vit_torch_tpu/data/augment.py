@@ -1,0 +1,100 @@
+"""Device-side (jitted) image augmentation.
+
+The reference runs PIL/torchvision transforms per sample in DataLoader worker
+processes (``utils_datasets.py:554-582``: Resize(bicubic) → RandomCrop with
+pad≈size/12, fill=128 → RandomHorizontalFlip → ToTensor → Normalize).
+
+TPU redesign: the deterministic resize happens once at dataset-load time on
+the host; the random transforms (pad+crop, hflip, cutout) and normalization
+run *inside the jitted train step* on device, batched over the whole batch —
+uint8 travels over PCIe, everything else is fused XLA.  Per-sample randomness
+comes from the step rng, so runs are exactly reproducible from the seed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def normalize(images: jax.Array, mean: Sequence[float], std: Sequence[float],
+              dtype=jnp.float32) -> jax.Array:
+    """uint8 [0,255] → normalized float, channels-last."""
+    mean = jnp.asarray(mean, jnp.float32) * 255.0
+    # fold /255 into the std divide: (x - 255m) / (255s)
+    inv_std = 1.0 / (jnp.asarray(std, jnp.float32) * 255.0)
+    x = images.astype(jnp.float32)
+    return ((x - mean) * inv_std).astype(dtype)
+
+
+def random_crop(rng: jax.Array, images: jax.Array, pad: int,
+                fill: int = 128) -> jax.Array:
+    """Batched random crop after constant-padding (reference RandomCrop
+    semantics: pad all sides by ``pad`` with ``fill=128``, crop back to the
+    original size at a random offset per sample)."""
+    B, H, W, C = images.shape
+    padded = jnp.pad(images, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                     constant_values=fill)
+    ry, rx = jax.random.split(rng)
+    offs_y = jax.random.randint(ry, (B,), 0, 2 * pad + 1)
+    offs_x = jax.random.randint(rx, (B,), 0, 2 * pad + 1)
+
+    def crop_one(img, oy, ox):
+        return jax.lax.dynamic_slice(img, (oy, ox, 0), (H, W, C))
+
+    return jax.vmap(crop_one)(padded, offs_y, offs_x)
+
+
+def random_hflip(rng: jax.Array, images: jax.Array, p: float = 0.5) -> jax.Array:
+    B = images.shape[0]
+    flip = jax.random.bernoulli(rng, p, (B, 1, 1, 1))
+    return jnp.where(flip, images[:, :, ::-1, :], images)
+
+
+def cutout(rng: jax.Array, images: jax.Array, size: int,
+           fill_value: float = 0.0) -> jax.Array:
+    """Batched Cutout (reference ``utils_datasets.py:22-59``): one square of
+    side ``size`` per sample, centered uniformly, filled with ``fill_value``
+    (applied post-normalization like the reference's tensor-space Cutout)."""
+    B, H, W, C = images.shape
+    ry, rx = jax.random.split(rng)
+    cy = jax.random.randint(ry, (B, 1, 1), 0, H)
+    cx = jax.random.randint(rx, (B, 1, 1), 0, W)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1), 1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    half = size // 2
+    mask = ((jnp.abs(ys - cy) <= half) & (jnp.abs(xs - cx) <= half))
+    return jnp.where(mask[..., None], fill_value, images)
+
+
+def make_train_augment(
+    mean: Sequence[float], std: Sequence[float], *,
+    crop_pad: Optional[int] = None, hflip: bool = True,
+    cutout_size: int = 0, dtype=jnp.float32,
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """Compose the reference's train transform stack as one device function.
+
+    ``crop_pad=None`` derives the reference default ``max(2, size // 12)``.
+    """
+
+    def augment(rng: jax.Array, images: jax.Array) -> jax.Array:
+        H = images.shape[1]
+        pad = crop_pad if crop_pad is not None else max(2, H // 12)
+        r_crop, r_flip, r_cut = jax.random.split(rng, 3)
+        x = random_crop(r_crop, images, pad, fill=128)
+        if hflip:
+            x = random_hflip(r_flip, x)
+        x = normalize(x, mean, std, dtype=dtype)
+        if cutout_size > 0:
+            x = cutout(r_cut, x, cutout_size)
+        return x
+
+    return augment
+
+
+def make_eval_transform(mean: Sequence[float], std: Sequence[float],
+                        dtype=jnp.float32) -> Callable[[jax.Array], jax.Array]:
+    return functools.partial(normalize, mean=mean, std=std, dtype=dtype)

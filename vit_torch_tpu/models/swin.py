@@ -1,0 +1,357 @@
+"""Swin Transformer backbone (hierarchical shifted-window attention).
+
+Capability parity with the reference's canonical Swin (``models/swin.py``:
+``WindowAttention`` w/ relative-position-bias table ``:65-160``,
+``SwinTransformerBlock`` cyclic shift + SW-MSA mask ``:163-288``,
+``PatchMerging`` ``:291-337``, ``BasicLayer`` ``:340-407``, conv
+``PatchEmbed`` ``:410-455``, ``SwinTransformer`` avgpool head ``:458-600``,
+headless ``SwinTransformerOD`` feature-map mode ``:603-745``, the 12+ config
+dicts ``:748-820``, and per-config FLOPs accounting ``:149-160,593-600``).
+
+TPU-first redesign:
+- window partition/reverse are pure static reshapes+transposes (jit-friendly,
+  no data-dependent shapes);
+- the shifted-window attention mask and the relative-position index are
+  *numpy constants computed at trace time* (static for a fixed image size),
+  folded into the attention bias — no gather scatter at runtime beyond one
+  static-index table lookup;
+- cyclic shift is ``jnp.roll`` (lowered to XLA collective-permute-free slice
+  concat);
+- patch embed and patch merging are reshape+matmul (MXU-native, no convs);
+- window attention batches all windows of all images into one
+  ``(B·nW, w², H, d)`` attention call → one big MXU matmul per block.
+- param names mirror the torch layout (layers_i/blocks_j/...) so the
+  checkpoint importer is a mechanical key remap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from vit_torch_tpu.models.layers import (
+    Dtype, DropPath, LayerNorm, Mlp, trunc_normal_init,
+)
+from vit_torch_tpu.ops.attention import dot_product_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinConfig:
+    patch_size: int = 4
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    patch_norm: bool = True
+
+    @property
+    def feature_dim(self) -> int:
+        return self.embed_dim * 2 ** (len(self.depths) - 1)
+
+
+def _cfg(**kw) -> SwinConfig:
+    return SwinConfig(**kw)
+
+
+# reference config dicts (models/swin.py:748-820); *_22k variants share the
+# architecture (they differ only in pretrain data)
+SWIN_CONFIGS = {
+    "swin_tiny_patch4_window7_224": _cfg(),
+    "swin_small_patch4_window7_224": _cfg(depths=(2, 2, 18, 2)),
+    "swin_base_patch4_window7_224": _cfg(embed_dim=128, depths=(2, 2, 18, 2),
+                                         num_heads=(4, 8, 16, 32)),
+    "swin_base_patch4_window12_384": _cfg(embed_dim=128, depths=(2, 2, 18, 2),
+                                          num_heads=(4, 8, 16, 32),
+                                          window_size=12),
+    "swin_large_patch4_window7_224": _cfg(embed_dim=192, depths=(2, 2, 18, 2),
+                                          num_heads=(6, 12, 24, 48)),
+    "swin_large_patch4_window12_384": _cfg(embed_dim=192, depths=(2, 2, 18, 2),
+                                           num_heads=(6, 12, 24, 48),
+                                           window_size=12),
+    # tiny smoke config (not a reference arch)
+    "swin_test": _cfg(embed_dim=16, depths=(1, 1), num_heads=(2, 4),
+                      window_size=4, drop_path_rate=0.0),
+}
+for _name in list(SWIN_CONFIGS):
+    if _name.endswith(("_224", "_384")):
+        SWIN_CONFIGS[_name + "_22k"] = SWIN_CONFIGS[_name]
+
+
+# --------------------------------------------------------------------------
+# static helpers
+# --------------------------------------------------------------------------
+
+def window_partition(x: jax.Array, w: int) -> jax.Array:
+    """(B, H, W, C) → (B·nW, w·w, C) — static reshape/transpose only."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // w, w, W // w, w, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, w * w, C)
+
+
+def window_reverse(windows: jax.Array, w: int, H: int, W: int) -> jax.Array:
+    """(B·nW, w·w, C) → (B, H, W, C)."""
+    C = windows.shape[-1]
+    B = windows.shape[0] // (H * W // w // w)
+    x = windows.reshape(B, H // w, W // w, w, w, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, C)
+
+
+def relative_position_index(w: int) -> np.ndarray:
+    """Static (w², w²) index into the (2w-1)² bias table (reference
+    ``models/swin.py:85-98`` semantics, computed once in numpy)."""
+    coords = np.stack(np.meshgrid(np.arange(w), np.arange(w), indexing="ij"))
+    coords = coords.reshape(2, -1)                          # (2, w²)
+    rel = coords[:, :, None] - coords[:, None, :]           # (2, w², w²)
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += w - 1
+    rel[:, :, 1] += w - 1
+    rel[:, :, 0] *= 2 * w - 1
+    return rel.sum(-1)                                      # (w², w²)
+
+
+def shifted_window_mask(Hp: int, Wp: int, w: int, shift: int) -> np.ndarray:
+    """Static SW-MSA attention mask: (nW, w², w²) additive bias with -100 at
+    cross-region pairs (reference ``models/swin.py:242-263`` semantics)."""
+    img = np.zeros((1, Hp, Wp, 1), np.float32)
+    cnt = 0
+    for h_sl in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
+        for w_sl in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
+            img[:, h_sl, w_sl, :] = cnt
+            cnt += 1
+    B, H, W, C = img.shape
+    windows = img.reshape(B, H // w, w, W // w, w, C)
+    windows = windows.transpose(0, 1, 3, 2, 4, 5).reshape(-1, w * w)
+    diff = windows[:, None, :] - windows[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# modules
+# --------------------------------------------------------------------------
+
+class WindowAttention(nn.Module):
+    """W-MSA with relative position bias over (B·nW, w², C) windows."""
+
+    num_heads: int
+    window_size: int
+    qkv_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jax.Array] = None,
+                 deterministic: bool = True):
+        Bn, N, C = x.shape
+        w, H = self.window_size, self.num_heads
+        head_dim = C // H
+        table = self.param("relative_position_bias_table", trunc_normal_init,
+                           ((2 * w - 1) ** 2, H), jnp.float32)
+        idx = relative_position_index(w).reshape(-1)
+        bias = table[idx].reshape(N, N, H).transpose(2, 0, 1)   # (H, N, N)
+        bias = bias[None].astype(jnp.float32)                   # (1, H, N, N)
+        if mask is not None:
+            # mask: (nW, N, N); expand over batch and heads
+            nW = mask.shape[0]
+            bias = bias.reshape(1, 1, H, N, N) + mask.reshape(1, nW, 1, N, N)
+            bias = bias.reshape(-1, H, N, N)
+            bias = jnp.broadcast_to(bias[None], (Bn // nW, nW, H, N, N)
+                                    ).reshape(Bn, H, N, N)
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=trunc_normal_init, name="qkv")(x)
+        qkv = qkv.reshape(Bn, N, 3, H, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = dot_product_attention(q, k, v, scale=head_dim ** -0.5, bias=bias)
+        out = out.reshape(Bn, N, C)
+        return nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_init,
+                        name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    num_heads: int
+    window_size: int
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, H, W, C = x.shape
+        w = min(self.window_size, H, W)
+        shift = self.shift_size if w < min(H, W) else 0
+        if min(H, W) <= self.window_size:
+            shift = 0  # window covers the whole map (reference :205-207)
+
+        y = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        pad_b, pad_r = (-H) % w, (-W) % w
+        Hp, Wp = H + pad_b, W + pad_r
+        if pad_b or pad_r:
+            y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        if shift:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(shifted_window_mask(Hp, Wp, w, shift))
+        else:
+            mask = None
+        windows = window_partition(y, w)
+        windows = WindowAttention(self.num_heads, w, self.qkv_bias,
+                                  dtype=self.dtype, name="attn")(
+                                      windows, mask, deterministic)
+        y = window_reverse(windows, w, Hp, Wp)
+        if shift:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        if pad_b or pad_r:
+            y = y[:, :H, :W]
+        x = x + DropPath(self.drop_path_rate)(y, deterministic)
+
+        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(
+            y, deterministic)
+        x = x + DropPath(self.drop_path_rate)(y, deterministic)
+        return x
+
+
+class PatchMerging(nn.Module):
+    """2×2 neighborhood concat (4C) → LayerNorm → Linear to 2C
+    (reference ``models/swin.py:291-337``), as reshape+matmul."""
+
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        pad_b, pad_r = H % 2, W % 2
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+            H, W = H + pad_b, W + pad_r
+        # torch concat order: x0=(0::2,0::2), x1=(1::2,0::2), x2=(0::2,1::2), x3=(1::2,1::2)
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)       # (B, H/2, W/2, 4C)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(2 * C, use_bias=False, dtype=self.dtype,
+                     kernel_init=trunc_normal_init, name="reduction")(x)
+        return x
+
+
+class SwinTransformer(nn.Module):
+    """Swin backbone.  ``features_only=True`` returns the final (B, H', W', C)
+    feature map (the reference's ``SwinTransformerOD`` mode,
+    ``models/swin.py:603-745``); otherwise token-mean features (B, C)."""
+
+    config: SwinConfig
+    dtype: Dtype = jnp.bfloat16
+    features_only: bool = False
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.config
+        B, H, W, C = x.shape
+        p = cfg.patch_size
+        # patch embed: reshape+matmul (+ optional LayerNorm, patch_norm=True)
+        pad_b, pad_r = (-H) % p, (-W) % p
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+            H, W = H + pad_b, W + pad_r
+        gh, gw = H // p, W // p
+        x = x.reshape(B, gh, p, gw, p, C).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, gh, gw, p * p * C)
+        kernel = self.param("patch_embed_kernel", trunc_normal_init,
+                            (p * p * C, cfg.embed_dim), jnp.float32)
+        pe_bias = self.param("patch_embed_bias", nn.initializers.zeros,
+                             (cfg.embed_dim,), jnp.float32)
+        x = (jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                     preferred_element_type=jnp.float32)
+             + pe_bias).astype(self.dtype)
+        if cfg.patch_norm:
+            x = LayerNorm(dtype=self.dtype, name="patch_embed_norm")(x)
+        x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
+
+        total_depth = sum(cfg.depths)
+        block_idx = 0
+        block_cls = SwinBlock
+        if self.remat:
+            block_cls = nn.remat(SwinBlock, static_argnums=(2,))
+        for li, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
+            for bi in range(depth):
+                dpr = cfg.drop_path_rate * block_idx / max(total_depth - 1, 1)
+                block_idx += 1
+                x = block_cls(
+                    num_heads=heads, window_size=cfg.window_size,
+                    shift_size=0 if bi % 2 == 0 else cfg.window_size // 2,
+                    mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
+                    drop_path_rate=dpr, dtype=self.dtype,
+                    name=f"layers_{li}_blocks_{bi}")(x, deterministic)
+            if li < len(cfg.depths) - 1:
+                x = PatchMerging(dtype=self.dtype,
+                                 name=f"layers_{li}_downsample")(x)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        if self.features_only:
+            return x                                  # (B, H', W', C_final)
+        return jnp.mean(x, axis=(1, 2))               # avgpool over tokens
+
+    @property
+    def feature_dim(self) -> int:
+        return self.config.feature_dim
+
+
+def swin_flops(config: SwinConfig, image_size: int) -> int:
+    """Analytic FLOPs (multiply-adds ×2) — parity with the reference's
+    per-module ``flops()`` accounting (``models/swin.py:149-160,276-288,
+    333-337,401-407,593-600``)."""
+    p, w = config.patch_size, config.window_size
+    gh = gw = image_size // p
+    flops = 2 * gh * gw * config.embed_dim * 3 * p * p  # patch embed
+    dim = config.embed_dim
+    H_, W_ = gh, gw
+    for li, (depth, heads) in enumerate(zip(config.depths, config.num_heads)):
+        for _ in range(depth):
+            n = H_ * W_
+            ws = min(w, H_, W_) ** 2
+            flops += 2 * n * dim * dim * 3              # qkv
+            flops += 2 * n * ws * dim * 2               # attn matmuls
+            flops += 2 * n * dim * dim                  # proj
+            flops += 2 * n * dim * int(dim * config.mlp_ratio) * 2  # mlp
+        if li < len(config.depths) - 1:
+            flops += 2 * (H_ // 2) * (W_ // 2) * 4 * dim * 2 * dim
+            H_, W_, dim = H_ // 2, W_ // 2, dim * 2
+    return flops
+
+
+# --------------------------------------------------------------------------
+# zoo registration
+# --------------------------------------------------------------------------
+
+def _build_swin(arch: str, image_channels: int, classifier, image_size: int,
+                dtype, remat: bool):
+    from vit_torch_tpu.models.layers import ClassifierHead
+    from vit_torch_tpu.models.zoo import Classifier, ZooModel, register_family
+    if arch not in SWIN_CONFIGS:
+        raise ValueError(f"unknown swin arch {arch!r}; have "
+                         f"{sorted(SWIN_CONFIGS)}")
+    cfg = SWIN_CONFIGS[arch]
+    backbone = SwinTransformer(cfg, dtype=dtype, remat=remat, name="backbone")
+    head = (ClassifierHead(tuple(classifier), dtype=dtype, name="head")
+            if classifier else None)
+    return ZooModel(arch=arch, family="swin",
+                    model=Classifier(backbone, head),
+                    feature_dim=cfg.feature_dim, patch_size=cfg.patch_size,
+                    default_image_size=384 if "384" in arch else 224)
+
+
+from vit_torch_tpu.models.zoo import register_family  # noqa: E402
+
+register_family("swin")(_build_swin)

@@ -1,0 +1,84 @@
+"""Multi-head attention compute op.
+
+Single entry point ``dot_product_attention`` used by every backbone in the
+zoo.  On TPU it dispatches to the Pallas flash-attention kernel
+(:mod:`vit_torch_tpu.ops.flash_attention`) when shapes allow; otherwise it
+falls back to a straightforward XLA softmax-attention that the compiler fuses
+well.  Replaces the reference's cuDNN-backed ``nn.MultiheadAttention`` /
+manual ``q @ k.T`` matmuls (e.g. reference ``models/swin.py:105-144``,
+``models/cait.py:111-128``).
+
+Layout convention: ``(batch, seq, heads, head_dim)`` (flax convention).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+import os
+
+
+def _flash_min_seq() -> int:
+    """Sequence-length threshold for dispatching to the Pallas kernel
+    (override with VITX_FLASH_MIN_SEQ; 0 disables, 1 forces)."""
+    return int(os.environ.get("VITX_FLASH_MIN_SEQ", "256"))
+
+
+def _use_pallas(q: jax.Array) -> bool:
+    """Heuristic: use the Pallas flash kernel on TPU for long-enough sequences.
+
+    Short ViT sequences fit comfortably in VMEM and XLA's fused
+    softmax-attention is already near speed-of-light there; the fused kernel
+    wins once the N×N score matrix stops fitting."""
+    if jax.default_backend() not in ("tpu",):
+        return False
+    threshold = _flash_min_seq()
+    if threshold <= 0:
+        return False
+    b, n, h, d = q.shape
+    return n >= threshold and d <= 256
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    bias: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Scaled dot-product attention over ``(B, N, H, Dh)`` tensors.
+
+    ``bias`` is an additive logits bias broadcastable to ``(B, H, Nq, Nk)``
+    (used for Swin's relative position bias and shifted-window masks).
+    ``mask`` is a boolean mask broadcastable to the same shape; ``False``
+    positions are excluded.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if use_pallas is None:
+        use_pallas = _use_pallas(q) and bias is None and mask is None
+    if use_pallas:
+        from vit_torch_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale=scale, bias=bias, mask=mask)
+
+
+def _xla_attention(q, k, v, *, scale, bias=None, mask=None):
+    orig_dtype = q.dtype
+    # logits in fp32 for numerical stability regardless of compute dtype
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    weights = jax.nn.softmax(logits, axis=-1).astype(orig_dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)

@@ -1,0 +1,91 @@
+"""Parameter partition rules for tensor parallelism.
+
+Path-pattern → ``PartitionSpec`` rules applied over the param pytree.  With
+``jax.jit`` + GSPMD these annotations are all that's needed — XLA inserts the
+all-reduces (over ICI) at the row-sharded projections.
+
+Scheme (Megatron-style column→row pairing, per block):
+- attention ``qkv``  kernel ``(C, 3C)``  → shard output dim on ``model`` (column)
+- attention ``proj`` kernel ``(C, C)``   → shard input dim on ``model`` (row)
+- MLP ``fc1`` kernel ``(C, 4C)``         → column
+- MLP ``fc2`` kernel ``(4C, C)``         → row
+- biases of column-sharded layers follow their outputs; everything else
+  (norms, embeddings, heads) is replicated.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path regex, spec) — first match wins; paths are '/'-joined key strings
+DEFAULT_RULES: Tuple[Tuple[str, P], ...] = (
+    (r".*/attn/qkv/kernel$", P(None, "model")),
+    (r".*/attn/qkv/bias$", P("model")),
+    (r".*/attn/proj/kernel$", P("model", None)),
+    (r".*/attn/proj/bias$", P()),
+    (r".*/mlp/fc1/kernel$", P(None, "model")),
+    (r".*/mlp/fc1/bias$", P("model")),
+    (r".*/mlp/fc2/kernel$", P("model", None)),
+    (r".*/mlp/fc2/bias$", P()),
+    # CaiT talking-heads / class-attention projections
+    (r".*/attn/(q|k|v)/kernel$", P(None, "model")),
+    (r".*/attn/(q|k|v)/bias$", P("model")),
+    (r".*", P()),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def partition_specs(params: Any, rules=DEFAULT_RULES) -> Any:
+    """Map a param pytree to a pytree of PartitionSpecs by path rules."""
+
+    def spec_for(path, leaf):
+        s = _path_str(path)
+        for pattern, spec in rules:
+            if re.match(pattern, s):
+                # drop axes that exceed the leaf's rank or don't divide the dim
+                if len(spec) > leaf.ndim:
+                    return P()
+                return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def validate_divisibility(params: Any, specs: Any, mesh: Mesh) -> Any:
+    """Downgrade any spec whose sharded dim doesn't divide by the axis size
+    (e.g. head counts not divisible by the model axis) to replicated."""
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def check(leaf, spec):
+        for dim, axis in enumerate(spec):
+            if axis is None:
+                continue
+            size = axis_sizes.get(axis, 1)
+            if leaf.shape[dim] % size != 0:
+                return P()
+        return spec
+
+    return jax.tree_util.tree_map(check, params, specs,
+                                  is_leaf=lambda x: isinstance(x, P))
+
+
+def named_shardings(params: Any, mesh: Mesh, rules=DEFAULT_RULES) -> Any:
+    specs = validate_divisibility(params, partition_specs(params, rules), mesh)
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P))
