@@ -1,0 +1,217 @@
+// maskops — native components for the detection/eval path and LBP transforms.
+//
+// TPU-native replacement for the reference's native dependencies
+// (SURVEY.md §2b): pycocotools' C extension (`pycocotools._mask`: RLE
+// encode/decode/area/IoU, bbox IoU with iscrowd semantics — used by
+// reference object/coco_eval.py:10-12) and scikit-image's C
+// local_binary_pattern (reference utils_datasets.py:1083-1143).
+//
+// Exposed as a plain C ABI consumed via ctypes (vit_torch_tpu/detection/_mask.py
+// and vit_torch_tpu/data/lbp.py), with numpy fallbacks when the .so is absent.
+//
+// RLE convention matches COCO: column-major (Fortran) scan of the H×W mask,
+// counts alternate runs of 0s and 1s, starting with 0s.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// RLE encode: mask is H*W uint8 in column-major order. Writes run lengths to
+// counts (capacity cap); returns number of runs, or -1 if capacity exceeded.
+int rle_encode(const uint8_t* mask, int h, int w, uint32_t* counts, int cap) {
+    int64_t n = (int64_t)h * w;
+    int k = 0;
+    uint8_t prev = 0;  // runs start with zeros
+    uint32_t run = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t v = mask[i] ? 1 : 0;
+        if (v != prev) {
+            if (k >= cap) return -1;
+            counts[k++] = run;
+            run = 0;
+            prev = v;
+        }
+        ++run;
+    }
+    if (k >= cap) return -1;
+    counts[k++] = run;
+    return k;
+}
+
+// RLE decode into mask (column-major, caller-allocated h*w bytes).
+void rle_decode(const uint32_t* counts, int n_counts, int h, int w,
+                uint8_t* mask) {
+    int64_t pos = 0, total = (int64_t)h * w;
+    uint8_t v = 0;
+    for (int i = 0; i < n_counts && pos < total; ++i) {
+        int64_t run = counts[i];
+        if (run > total - pos) run = total - pos;
+        memset(mask + pos, v, (size_t)run);
+        pos += run;
+        v = 1 - v;
+    }
+}
+
+uint64_t rle_area(const uint32_t* counts, int n_counts) {
+    uint64_t a = 0;
+    for (int i = 1; i < n_counts; i += 2) a += counts[i];
+    return a;
+}
+
+// Intersection of two RLEs (merged run walk, no decode).
+static uint64_t rle_intersection(const uint32_t* a, int na,
+                                 const uint32_t* b, int nb) {
+    uint64_t inter = 0;
+    int ia = 0, ib = 0;
+    uint64_t ca = ia < na ? a[ia] : 0, cb = ib < nb ? b[ib] : 0;
+    bool va = false, vb = false;  // value of current run (runs start at 0)
+    while (ia < na && ib < nb) {
+        uint64_t step = std::min(ca, cb);
+        if (va && vb) inter += step;
+        ca -= step; cb -= step;
+        if (ca == 0) { ++ia; va = !va; if (ia < na) ca = a[ia]; }
+        if (cb == 0) { ++ib; vb = !vb; if (ib < nb) cb = b[ib]; }
+    }
+    return inter;
+}
+
+// IoU between RLE-encoded masks. dt: n_dt RLEs (flattened counts +
+// offsets/lengths), gt likewise; iscrowd per gt. out is n_dt*n_gt row-major.
+void rle_iou(const uint32_t* dt_counts, const int* dt_off, const int* dt_len,
+             int n_dt,
+             const uint32_t* gt_counts, const int* gt_off, const int* gt_len,
+             int n_gt, const uint8_t* iscrowd, double* out) {
+    std::vector<uint64_t> dt_area(n_dt), gt_area(n_gt);
+    for (int i = 0; i < n_dt; ++i)
+        dt_area[i] = rle_area(dt_counts + dt_off[i], dt_len[i]);
+    for (int j = 0; j < n_gt; ++j)
+        gt_area[j] = rle_area(gt_counts + gt_off[j], gt_len[j]);
+    for (int i = 0; i < n_dt; ++i) {
+        for (int j = 0; j < n_gt; ++j) {
+            uint64_t inter = rle_intersection(
+                dt_counts + dt_off[i], dt_len[i],
+                gt_counts + gt_off[j], gt_len[j]);
+            double denom = iscrowd && iscrowd[j]
+                ? (double)dt_area[i]
+                : (double)(dt_area[i] + gt_area[j] - inter);
+            out[(int64_t)i * n_gt + j] = denom > 0 ? inter / denom : 0.0;
+        }
+    }
+}
+
+// bbox IoU with COCO iscrowd semantics. Boxes are xywh.
+void bbox_iou(const double* dt, int n_dt, const double* gt, int n_gt,
+              const uint8_t* iscrowd, double* out) {
+    for (int i = 0; i < n_dt; ++i) {
+        double dx0 = dt[i * 4], dy0 = dt[i * 4 + 1];
+        double dw = dt[i * 4 + 2], dh = dt[i * 4 + 3];
+        double da = dw * dh;
+        for (int j = 0; j < n_gt; ++j) {
+            double gx0 = gt[j * 4], gy0 = gt[j * 4 + 1];
+            double gw = gt[j * 4 + 2], gh = gt[j * 4 + 3];
+            double ga = gw * gh;
+            double ix = std::min(dx0 + dw, gx0 + gw) - std::max(dx0, gx0);
+            double iy = std::min(dy0 + dh, gy0 + gh) - std::max(dy0, gy0);
+            double inter = (ix > 0 && iy > 0) ? ix * iy : 0.0;
+            double denom = iscrowd && iscrowd[j] ? da : da + ga - inter;
+            out[(int64_t)i * n_gt + j] = denom > 0 ? inter / denom : 0.0;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Local binary pattern (scikit-image semantics for methods:
+// 0='default', 1='ror', 2='uniform', 3='var', 4='nri_uniform').
+// image is H×W float64, out is H×W float64. P sample points on radius R,
+// bilinear interpolation.
+void local_binary_pattern(const double* img, int h, int w, int P, double R,
+                          int method, double* out) {
+    std::vector<double> sy(P), sx(P);
+    for (int p = 0; p < P; ++p) {
+        // skimage convention: angle = 2*pi*p/P, sample at
+        // (r*sin(angle), r*cos(angle)) relative to center (row, col)
+        double angle = 2.0 * M_PI * p / P;
+        sy[p] = -R * std::cos(angle);
+        sx[p] = R * std::sin(angle);
+    }
+    std::vector<double> vals(P);
+    for (int y = 0; y < h; ++y) {
+        for (int x = 0; x < w; ++x) {
+            double c = img[(int64_t)y * w + x];
+            uint64_t code = 0;
+            int transitions = 0, ones = 0;
+            for (int p = 0; p < P; ++p) {
+                double yy = y + sy[p], xx = x + sx[p];
+                // bilinear with edge clamp
+                int y0 = (int)std::floor(yy), x0 = (int)std::floor(xx);
+                double fy = yy - y0, fx = xx - x0;
+                auto at = [&](int yi, int xi) {
+                    yi = std::max(0, std::min(h - 1, yi));
+                    xi = std::max(0, std::min(w - 1, xi));
+                    return img[(int64_t)yi * w + xi];
+                };
+                double v = (1 - fy) * (1 - fx) * at(y0, x0)
+                         + (1 - fy) * fx * at(y0, x0 + 1)
+                         + fy * (1 - fx) * at(y0 + 1, x0)
+                         + fy * fx * at(y0 + 1, x0 + 1);
+                vals[p] = v;
+                // tolerance absorbs bilinear weight-sum rounding (flat
+                // regions must read as >= center)
+                if (v >= c - 1e-4) { code |= (1ULL << p); ++ones; }
+            }
+            for (int p = 0; p < P; ++p) {
+                int q = (p + 1) % P;
+                if (((code >> p) & 1) != ((code >> q) & 1)) ++transitions;
+            }
+            double result;
+            if (method == 0) {            // default
+                result = (double)code;
+            } else if (method == 1) {     // ror: rotation-invariant min
+                uint64_t best = code;
+                for (int s = 1; s < P; ++s) {
+                    uint64_t rot = ((code >> s) | (code << (P - s)))
+                                   & ((P == 64) ? ~0ULL : ((1ULL << P) - 1));
+                    best = std::min(best, rot);
+                }
+                result = (double)best;
+            } else if (method == 2) {     // uniform
+                result = transitions <= 2 ? (double)ones : (double)(P + 1);
+            } else if (method == 4) {     // nri_uniform
+                if (transitions > 2) {
+                    result = (double)(P * (P - 1) + 2);
+                } else if (ones == 0) {
+                    result = 0.0;
+                } else if (ones == P) {
+                    result = (double)(P * (P - 1) + 1);
+                } else {
+                    // rotation = index of the first 1-bit whose predecessor
+                    // (cyclically) is 0
+                    int rot = 0;
+                    for (int p = 0; p < P; ++p) {
+                        int prev = (p + P - 1) % P;
+                        if (((code >> p) & 1) && !((code >> prev) & 1)) {
+                            rot = p;
+                            break;
+                        }
+                    }
+                    result = (double)(1 + (ones - 1) * P + rot);
+                }
+            } else {                      // var
+                double mean = 0, var = 0;
+                for (int p = 0; p < P; ++p) mean += vals[p];
+                mean /= P;
+                for (int p = 0; p < P; ++p)
+                    var += (vals[p] - mean) * (vals[p] - mean);
+                result = var / P;
+            }
+            out[(int64_t)y * w + x] = result;
+        }
+    }
+}
+
+}  // extern "C"

@@ -1,0 +1,215 @@
+"""Tests for the detection stack: box ops, native mask lib, COCO eval,
+matcher, DETR forward/losses, and the synthetic end-to-end smoke."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_torch_tpu.detection import _mask
+from vit_torch_tpu.detection.boxes import (
+    box_iou, cxcywh_to_xyxy, generalized_box_iou, nms_padded, xyxy_to_cxcywh,
+)
+from vit_torch_tpu.detection.coco_eval import COCO, COCOeval, CocoEvaluator
+
+
+# --- box ops ---------------------------------------------------------------
+
+def test_box_format_roundtrip():
+    boxes = jnp.asarray([[10.0, 20.0, 30.0, 60.0]])
+    c = xyxy_to_cxcywh(boxes)
+    np.testing.assert_allclose(np.asarray(c), [[20, 40, 20, 40]])
+    np.testing.assert_allclose(np.asarray(cxcywh_to_xyxy(c)),
+                               np.asarray(boxes), atol=1e-6)
+
+
+def test_box_iou_known_values():
+    a = jnp.asarray([[0.0, 0, 10, 10]])
+    b = jnp.asarray([[0.0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]])
+    iou = np.asarray(box_iou(a, b))[0]
+    np.testing.assert_allclose(iou, [1.0, 25 / 175, 0.0], atol=1e-6)
+
+
+def test_giou_less_than_iou_for_disjoint():
+    a = jnp.asarray([[0.0, 0, 1, 1]])
+    b = jnp.asarray([[2.0, 2, 3, 3]])
+    giou = float(generalized_box_iou(a, b)[0, 0])
+    assert giou < 0  # disjoint boxes get negative GIoU
+
+
+def test_nms_padded():
+    boxes = jnp.asarray([[0.0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30]])
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    idx, valid = nms_padded(boxes, scores, iou_threshold=0.5, max_outputs=3)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    kept = idx[valid].tolist()
+    assert kept == [0, 2]  # box 1 suppressed by box 0
+
+
+# --- native mask lib -------------------------------------------------------
+
+def test_rle_roundtrip():
+    rng = np.random.default_rng(0)
+    mask = (rng.random((13, 7)) > 0.5).astype(np.uint8)
+    rle = _mask.encode(mask)
+    np.testing.assert_array_equal(_mask.decode(rle), mask)
+    assert _mask.area(rle) == int(mask.sum())
+
+
+def test_rle_iou_matches_dense():
+    rng = np.random.default_rng(1)
+    m1 = (rng.random((16, 16)) > 0.6).astype(np.uint8)
+    m2 = (rng.random((16, 16)) > 0.6).astype(np.uint8)
+    r1, r2 = _mask.encode(m1), _mask.encode(m2)
+    got = _mask.iou([r1], [r2], [0])[0, 0]
+    inter = np.logical_and(m1, m2).sum()
+    union = np.logical_or(m1, m2).sum()
+    np.testing.assert_allclose(got, inter / union, atol=1e-9)
+
+
+def test_bbox_iou_iscrowd_semantics():
+    dt = np.asarray([[0.0, 0, 10, 10]])       # xywh
+    gt = np.asarray([[5.0, 5, 10, 10]])
+    plain = _mask.iou(dt, gt, [0])[0, 0]
+    crowd = _mask.iou(dt, gt, [1])[0, 0]
+    np.testing.assert_allclose(plain, 25 / 175, atol=1e-9)
+    np.testing.assert_allclose(crowd, 25 / 100, atol=1e-9)  # inter / dt area
+
+
+def test_native_library_loaded():
+    assert _mask.native_available(), "csrc/libmaskops.so must be built"
+
+
+def test_poly_to_rle():
+    rle = _mask.poly_to_rle([[2, 2, 8, 2, 8, 8, 2, 8]], 10, 10)
+    m = _mask.decode(rle)
+    assert m[5, 5] == 1 and m[0, 0] == 0
+    assert 36 <= _mask.area(rle) <= 49
+
+
+# --- COCO eval -------------------------------------------------------------
+
+def _toy_gt():
+    return COCO(dataset={
+        "images": [{"id": 1, "height": 100, "width": 100},
+                   {"id": 2, "height": 100, "width": 100}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1,
+             "bbox": [10, 10, 20, 20], "area": 400, "iscrowd": 0},
+            {"id": 2, "image_id": 1, "category_id": 2,
+             "bbox": [50, 50, 20, 20], "area": 400, "iscrowd": 0},
+            {"id": 3, "image_id": 2, "category_id": 1,
+             "bbox": [30, 30, 40, 40], "area": 1600, "iscrowd": 0},
+        ],
+        "categories": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}],
+    })
+
+
+def test_cocoeval_perfect_predictions():
+    gt = _toy_gt()
+    dts = [{"image_id": a["image_id"], "category_id": a["category_id"],
+            "bbox": a["bbox"], "score": 0.9}
+           for a in gt.dataset["annotations"]]
+    ev = COCOeval(gt, gt.load_res(dts), "bbox")
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize()
+    assert stats[0] > 0.99, f"perfect predictions must give AP=1, got {stats[0]}"
+    assert stats[1] > 0.99  # AP50
+
+
+def test_cocoeval_no_predictions():
+    gt = _toy_gt()
+    ev = COCOeval(gt, gt.load_res([]), "bbox")
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize()
+    assert stats[0] <= 0.0
+
+
+def test_cocoeval_half_shifted():
+    """Predictions shifted to ~0.47 IoU pass no threshold in 0.5:0.95."""
+    gt = _toy_gt()
+    dts = []
+    for a in gt.dataset["annotations"]:
+        x, y, w, h = a["bbox"]
+        dts.append({"image_id": a["image_id"], "category_id": a["category_id"],
+                    "bbox": [x + w * 0.4, y, w, h], "score": 0.9})
+    ev = COCOeval(gt, gt.load_res(dts), "bbox")
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize()
+    assert stats[0] < 0.2
+
+
+def test_coco_evaluator_wrapper():
+    gt = _toy_gt()
+    evaluator = CocoEvaluator(gt, ["bbox"])
+    # xyxy in, xywh converted internally
+    evaluator.update({1: {"boxes": np.asarray([[10, 10, 30, 30],
+                                               [50, 50, 70, 70]]),
+                          "scores": np.asarray([0.9, 0.8]),
+                          "labels": np.asarray([1, 2])}})
+    evaluator.update({2: {"boxes": np.asarray([[30, 30, 70, 70]]),
+                          "scores": np.asarray([0.95]),
+                          "labels": np.asarray([1])}})
+    evaluator.accumulate()
+    out = evaluator.summarize()
+    assert out["bbox"]["ap"] > 0.99
+    assert set(out["bbox"]) == set(CocoEvaluator.METRIC_KEYS)
+
+
+# --- matcher ---------------------------------------------------------------
+
+def test_hungarian_match_prefers_low_cost():
+    from vit_torch_tpu.detection.matcher import hungarian_match
+    cost = np.asarray([[[0.1, 5.0], [5.0, 0.2], [9.0, 9.0]]])  # (1, 3Q, 2N)
+    box_mask = np.asarray([[1.0, 1.0]])
+    assign = hungarian_match(cost, box_mask)
+    assert assign[0, 0] == 0 and assign[0, 1] == 1 and assign[0, 2] == -1
+
+
+def test_cost_matrices_poison_padding():
+    from vit_torch_tpu.detection.matcher import cost_matrices
+    logits = jnp.zeros((1, 4, 3))
+    boxes = jnp.full((1, 4, 4), 0.5)
+    gt_labels = jnp.asarray([[1, 0]])
+    gt_boxes = jnp.asarray([[[0.5, 0.5, 0.2, 0.2], [0, 0, 0, 0]]])
+    mask = jnp.asarray([[1.0, 0.0]])
+    cost = np.asarray(cost_matrices(logits, boxes, gt_labels, gt_boxes, mask))
+    assert (cost[0, :, 1] >= 1e8).all()      # padded column poisoned
+    assert (cost[0, :, 0] < 1e8).all()
+
+
+# --- DETR end-to-end on synthetic data --------------------------------------
+
+def test_detr_forward_shapes():
+    from vit_torch_tpu.detection.detr import DETR, DETRConfig
+    from vit_torch_tpu.models.swin import SWIN_CONFIGS, SwinTransformer
+    backbone = SwinTransformer(SWIN_CONFIGS["swin_test"], dtype=jnp.float32,
+                               features_only=True, name="backbone")
+    cfg = DETRConfig(num_classes=3, num_queries=8, hidden_dim=32,
+                     enc_layers=1, dec_layers=2, ffn_dim=64)
+    model = DETR(cfg, backbone, dtype=jnp.float32)
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, True)
+    out = model.apply(variables, x, True)
+    assert out["pred_logits"].shape == (2, 8, 4)
+    assert out["pred_boxes"].shape == (2, 8, 4)
+    assert len(out["aux_outputs"]) == 1
+    assert float(out["pred_boxes"].min()) >= 0.0
+    assert float(out["pred_boxes"].max()) <= 1.0
+
+
+def test_coco_smoke_end_to_end(tmp_path):
+    """--test equivalent: 1 epoch on synthetic COCO through the full CLI."""
+    from vit_torch_tpu.cli.coco import main
+    fp = str(tmp_path / "stats.json")
+    record = main(["--test", "--epochs", "1", "--stats_fp", fp])
+    assert record["telem"]["completed"] is True
+    d = json.load(open(fp))
+    assert len(d["logs"]) == 1
+    assert "ap" in d["logs"][0]["val"]["bbox"]
+    assert np.isfinite(d["logs"][0]["train"]["loss_total"])

@@ -1,0 +1,87 @@
+"""Tests for the LBP transforms (native C++ vs numpy fallback) and the tire
+dataset builder."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vit_torch_tpu.data.lbp import (
+    LBP_METHODS, get_lbp_full, get_lbp_merge, local_binary_pattern,
+    _lbp_numpy, rgb_to_gray,
+)
+
+
+@pytest.fixture
+def gray_img():
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 256, (24, 24)).astype(np.float64)
+
+
+@pytest.mark.parametrize("method", ["default", "ror", "uniform",
+                                    "nri_uniform", "var"])
+def test_native_matches_numpy(gray_img, method):
+    """C++ LBP must agree with the independent numpy implementation.
+
+    Compared on the interior: at clamped borders, bilinear samples can tie
+    exactly with the center and FP rounding order may flip the >= bit.
+    """
+    native = local_binary_pattern(gray_img, 8, 1.0, method)[1:-1, 1:-1]
+    ref = _lbp_numpy(gray_img, 8, 1.0, method)[1:-1, 1:-1]
+    if method == "var":
+        np.testing.assert_allclose(native, ref, rtol=1e-9)
+    else:
+        np.testing.assert_array_equal(native, ref)
+
+
+def test_uniform_flat_region_is_all_ones_pattern():
+    """On a constant image every neighbor >= center → uniform code = P."""
+    img = np.full((8, 8), 100.0)
+    out = local_binary_pattern(img, 8, 1.0, "uniform")
+    assert (out[1:-1, 1:-1] == 8).all()  # borders have clamped-sample FP ties
+
+
+def test_ror_rotation_invariance():
+    """ror value range never exceeds the default range and is <= default."""
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (16, 16)).astype(np.float64)
+    d = local_binary_pattern(img, 8, 1.0, "default")
+    r = local_binary_pattern(img, 8, 1.0, "ror")
+    assert (r <= d).all()
+
+
+def test_get_lbp_full_reference_ranges(gray_img):
+    maps = get_lbp_full(gray_img.astype(np.uint8), radius=2)
+    assert set(maps) == set(LBP_METHODS)
+    for m in maps.values():
+        assert m.dtype == np.uint8 and m.shape == gray_img.shape
+
+
+def test_get_lbp_merge_channel_stack():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    merged = get_lbp_merge(img, methods=("l", "default", "uniform", "r"))
+    assert merged.shape == (16, 16, 4)
+    np.testing.assert_array_equal(merged[..., 3], img[..., 0])  # 'r' channel
+    gray = rgb_to_gray(img)
+    np.testing.assert_allclose(merged[..., 0], gray.clip(0, 255).astype(np.uint8))
+
+
+def test_tire_dataset(tmp_path):
+    # build a tiny ImageFolder
+    rng = np.random.default_rng(0)
+    for cls in ("good", "bad"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(6):
+            Image.fromarray(rng.integers(0, 256, (32, 32, 3),
+                                         dtype=np.uint8)).save(d / f"{i}.png")
+    from vit_torch_tpu.data.tire import get_tire_dataset
+    ds = get_tire_dataset(str(tmp_path), image_size=16, bs=4, settings=0)
+    assert ds.num_labels == 2
+    assert ds.image_channels == 3          # ('l', 'default', 'uniform')
+    batch = next(iter(ds.loaders["train"]))
+    assert batch["image"].shape == (4, 16, 16, 3)
+    assert batch["image"].dtype == np.uint8
+    # N-channel variant
+    ds2 = get_tire_dataset(str(tmp_path), image_size=16, bs=4, settings=2)
+    assert ds2.image_channels == 4

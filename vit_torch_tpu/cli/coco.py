@@ -1,0 +1,170 @@
+"""COCO detection CLI.
+
+Capability parity with the reference's detection entry points
+(``object/coco_pipeline.py`` argparse ``:51-72``, ``--test`` smoke mode
+``:75-82``, ``do_training`` per-epoch JSON with flattened ap/ap50/.../arl
+``:442-559``; ``object_detr/main.py``): trains the DETR-style set-prediction
+detector over a zoo backbone on a COCO-format directory and streams per-epoch
+stats (train losses + the 12 COCO metrics) to JSON.
+
+Usage:
+    python -m vit_torch_tpu.cli.coco --data_root /path/coco \
+        --backbone swin_tiny_patch4_window7_224 --epochs 5 --bs 8
+    python -m vit_torch_tpu.cli.coco --test          # synthetic smoke run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_args_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("coco detection")
+    p.add_argument("--data_root", default="", type=str,
+                   help="COCO dir: {train,validation}/{data,labels.json}")
+    p.add_argument("--backbone", default="swin_tiny_patch4_window7_224")
+    p.add_argument("--image_size", default=512, type=int)
+    p.add_argument("--bs", default=8, type=int)
+    p.add_argument("--epochs", default=10, type=int)
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--weight_decay", default=1e-4, type=float)
+    p.add_argument("--num_queries", default=100, type=int)
+    p.add_argument("--enc_layers", default=6, type=int)
+    p.add_argument("--dec_layers", default=6, type=int)
+    p.add_argument("--hidden_dim", default=256, type=int)
+    p.add_argument("--max_boxes", default=64, type=int)
+    p.add_argument("--limit_train", default=0, type=int)
+    p.add_argument("--limit_test", default=0, type=int)
+    p.add_argument("--labels", default=[], nargs="+", type=int,
+                   help="category-id subset filter")
+    p.add_argument("--stats_fp",
+                   default=f"./logs/coco/stats_{time.strftime('%y%m%d_%H%M%S')}.json")
+    p.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--test", action="store_true",
+                   help="smoke mode: tiny synthetic dataset, 2 epochs "
+                        "(reference object/coco_pipeline.py:75-82)")
+    return p
+
+
+def main(argv: Optional[Sequence[str]] = None) -> dict:
+    args = get_args_parser().parse_args(argv)
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from vit_torch_tpu.detection.coco_data import (
+        CocoDetectionDataset, CocoLoader, make_synthetic_coco)
+    from vit_torch_tpu.detection.detr import DETR, DETRConfig
+    from vit_torch_tpu.detection.engine import DetectionTrainer
+    from vit_torch_tpu.models import VisionModelZoo
+    from vit_torch_tpu.utils.stats import default_hardware
+
+    if args.test:
+        import tempfile
+        tmp = tempfile.mkdtemp(prefix="coco_smoke_")
+        img_dir, ann_file = make_synthetic_coco(tmp, n_images=16, size=64)
+        train_dirs = val_dirs = (img_dir, ann_file)
+        args.epochs = min(args.epochs, 2)
+        args.bs = min(args.bs, 4)
+        args.image_size = 64
+        args.max_boxes = 8
+        args.enc_layers, args.dec_layers = 1, 1
+        args.hidden_dim, args.num_queries = 64, 8
+        args.backbone = "swin_test"
+    else:
+        assert args.data_root, "--data_root required (or --test)"
+        train_dirs = (os.path.join(args.data_root, "train", "data"),
+                      os.path.join(args.data_root, "train", "labels.json"))
+        val_dirs = (os.path.join(args.data_root, "validation", "data"),
+                    os.path.join(args.data_root, "validation", "labels.json"))
+
+    cats = args.labels or None
+    train_ds = CocoDetectionDataset(*train_dirs, image_size=args.image_size,
+                                    max_boxes=args.max_boxes,
+                                    limit=args.limit_train, category_ids=cats)
+    val_ds = CocoDetectionDataset(*val_dirs, image_size=args.image_size,
+                                  max_boxes=args.max_boxes,
+                                  limit=args.limit_test, category_ids=cats)
+    train_loader = CocoLoader(train_ds, args.bs, shuffle=True)
+    val_loader = CocoLoader(val_ds, args.bs)
+    print(f"train: {len(train_ds)} images, val: {len(val_ds)} images, "
+          f"{train_ds.num_classes} classes")
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    from vit_torch_tpu.models.swin import SWIN_CONFIGS, SwinTransformer
+    from vit_torch_tpu.models.resnet import RESNET_CONFIGS, ResNet
+    if args.backbone in SWIN_CONFIGS:
+        backbone = SwinTransformer(SWIN_CONFIGS[args.backbone], dtype=dtype,
+                                   features_only=True, name="backbone")
+    elif args.backbone in RESNET_CONFIGS:
+        raise NotImplementedError(
+            "resnet feature-map backbone for detection lands with the "
+            "FasterRCNN head")
+    else:
+        raise ValueError(f"unsupported detection backbone {args.backbone!r}")
+
+    cfg = DETRConfig(num_classes=train_ds.num_classes,
+                     num_queries=args.num_queries,
+                     hidden_dim=args.hidden_dim, enc_layers=args.enc_layers,
+                     dec_layers=args.dec_layers)
+    model = DETR(cfg, backbone, dtype=dtype)
+    dummy = jnp.zeros((1, args.image_size, args.image_size, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), dummy, True)["params"]
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"model: {n_params / 1e6:.1f}M params")
+
+    trainer = DetectionTrainer(model, params, image_size=args.image_size,
+                               num_classes=train_ds.num_classes, lr=args.lr,
+                               weight_decay=args.weight_decay)
+
+    record = {
+        "info": vars(args),
+        "telem": {"hardware": default_hardware(),
+                  "time_start": time.time(), "completed": False},
+        "logs": [],
+    }
+
+    def save():
+        os.makedirs(os.path.dirname(os.path.abspath(args.stats_fp)),
+                    exist_ok=True)
+        record["telem"]["time_updated"] = time.time()
+        with open(args.stats_fp, "w") as f:
+            json.dump(record, f, indent=2, default=str)
+
+    def log_fn(i, n, logs):
+        print(f"\r  [{i + 1}/{n}] " + " ".join(
+            f"{k}[{v:.4f}]" for k, v in logs.items()), end="", flush=True)
+
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        trainer.set_lr(args.lr)
+        train_logs = trainer.train_one_epoch(train_loader, epoch,
+                                             log_fn=log_fn)
+        print()
+        metrics = trainer.evaluate(val_loader, val_ds.coco,
+                                   label_to_cat=val_ds.label_to_cat)
+        row = {"epoch": epoch, "time": time.time() - t0,
+               "train": train_logs, "val": metrics}
+        record["logs"].append(row)
+        save()
+        ap = metrics.get("bbox", {})
+        print(f"epoch {epoch}: loss {train_logs['loss_total']:.4f} "
+              f"AP {ap.get('ap', 0):.4f} AP50 {ap.get('ap50', 0):.4f}")
+
+    record["telem"]["completed"] = True
+    save()
+    print("stats saved to", args.stats_fp)
+    return record
+
+
+if __name__ == "__main__":
+    main()

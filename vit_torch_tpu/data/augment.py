@@ -73,20 +73,31 @@ def cutout(rng: jax.Array, images: jax.Array, size: int,
 def make_train_augment(
     mean: Sequence[float], std: Sequence[float], *,
     crop_pad: Optional[int] = None, hflip: bool = True,
-    cutout_size: int = 0, dtype=jnp.float32,
+    cutout_size: int = 0, auto_policy: Optional[str] = None,
+    dtype=jnp.float32,
 ) -> Callable[[jax.Array, jax.Array], jax.Array]:
-    """Compose the reference's train transform stack as one device function.
+    """Compose the reference's train transform stack as one device function
+    (order matches reference ``get_trans`` ``utils_datasets.py:554-582``:
+    crop → flip → AutoAugment → normalize).
 
     ``crop_pad=None`` derives the reference default ``max(2, size // 12)``.
+    ``auto_policy`` ∈ {imagenet, cifar10, stl10, svhn} enables device-side
+    AutoAugment.
     """
+    auto_fn = None
+    if auto_policy:
+        from vit_torch_tpu.data.autoaugment import make_autoaugment
+        auto_fn = make_autoaugment(auto_policy)
 
     def augment(rng: jax.Array, images: jax.Array) -> jax.Array:
         H = images.shape[1]
         pad = crop_pad if crop_pad is not None else max(2, H // 12)
-        r_crop, r_flip, r_cut = jax.random.split(rng, 3)
+        r_crop, r_flip, r_auto, r_cut = jax.random.split(rng, 4)
         x = random_crop(r_crop, images, pad, fill=128)
         if hflip:
             x = random_hflip(r_flip, x)
+        if auto_fn is not None:
+            x = auto_fn(r_auto, x)
         x = normalize(x, mean, std, dtype=dtype)
         if cutout_size > 0:
             x = cutout(r_cut, x, cutout_size)

@@ -1,0 +1,261 @@
+"""DETR-style set-prediction detector.
+
+Capability parity with the reference's DETR stack
+(``object_detr/models/detr.py:41-376`` — DETR module, ``SetCriterion``
+Hungarian-matched CE/L1/GIoU/cardinality losses with aux decoder losses,
+``PostProcess`` → scored xyxy boxes, ``MLP`` box head;
+``object_detr/models/transformer.py`` — encoder/decoder with pos-embeds
+injected into attention and intermediate decoder outputs;
+``object_detr/models/position_encoding.py:12-76`` — sine embedding).
+The reference *bypassed* its transformer with a Swin hybrid; this build
+keeps both capabilities: any zoo backbone (Swin-OD feature maps, ResNet)
+feeds a real encoder/decoder.
+
+TPU-first: fixed query count, fixed padded gt sets (no NestedTensor — images
+are letterboxed to one static shape by the dataset), attention via
+``ops.dot_product_attention``, box coordinates normalized cxcywh in [0,1].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vit_torch_tpu.detection.boxes import cxcywh_to_xyxy, generalized_box_iou
+from vit_torch_tpu.models.layers import Dtype, LayerNorm, trunc_normal_init
+from vit_torch_tpu.ops.attention import dot_product_attention
+
+
+def sine_position_embedding(h: int, w: int, dim: int,
+                            temperature: float = 10000.0) -> jnp.ndarray:
+    """(1, h*w, dim) sine/cosine 2D position embedding (reference
+    ``position_encoding.py:12-49`` semantics with an all-valid mask)."""
+    half = dim // 2
+    scale = 2 * math.pi
+    eps = 1e-6
+    y = (jnp.arange(1, h + 1, dtype=jnp.float32) / (h + eps)) * scale
+    x = (jnp.arange(1, w + 1, dtype=jnp.float32) / (w + eps)) * scale
+    dim_t = jnp.arange(half // 2, dtype=jnp.float32)
+    dim_t = temperature ** (2 * dim_t / half)
+
+    def enc(v):  # (n,) -> (n, half)
+        pos = v[:, None] / dim_t
+        return jnp.stack([jnp.sin(pos), jnp.cos(pos)], axis=2).reshape(
+            v.shape[0], -1)
+
+    pos_y = jnp.broadcast_to(enc(y)[:, None, :], (h, w, enc(y).shape[-1]))
+    pos_x = jnp.broadcast_to(enc(x)[None, :, :], (h, w, enc(x).shape[-1]))
+    return jnp.concatenate([pos_y, pos_x], axis=-1).reshape(1, h * w, -1)
+
+
+class MHA(nn.Module):
+    """Multi-head attention with external q/k/v inputs (DETR injects
+    position embeddings into q and k)."""
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        B, Nq, C = q.shape
+        H = self.num_heads
+        d = C // H
+        qp = nn.Dense(C, dtype=self.dtype, name="q")(q).reshape(B, Nq, H, d)
+        kp = nn.Dense(C, dtype=self.dtype, name="k")(k).reshape(B, -1, H, d)
+        vp = nn.Dense(C, dtype=self.dtype, name="v")(v).reshape(B, -1, H, d)
+        out = dot_product_attention(qp, kp, vp, scale=d ** -0.5)
+        out = out.reshape(B, Nq, C)
+        return nn.Dense(C, dtype=self.dtype, name="out")(out)
+
+
+class EncoderLayer(nn.Module):
+    num_heads: int
+    ffn_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos):
+        # post-norm (DETR default), pos added to q/k only
+        y = MHA(self.num_heads, dtype=self.dtype, name="self_attn")(
+            x + pos, x + pos, x)
+        x = LayerNorm(dtype=self.dtype, name="norm1")(x + y)
+        y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(x)
+        y = nn.relu(y)
+        y = nn.Dense(x.shape[-1], dtype=self.dtype, name="linear2")(y)
+        return LayerNorm(dtype=self.dtype, name="norm2")(x + y)
+
+
+class DecoderLayer(nn.Module):
+    num_heads: int
+    ffn_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, query_pos, mem_pos):
+        y = MHA(self.num_heads, dtype=self.dtype, name="self_attn")(
+            tgt + query_pos, tgt + query_pos, tgt)
+        tgt = LayerNorm(dtype=self.dtype, name="norm1")(tgt + y)
+        y = MHA(self.num_heads, dtype=self.dtype, name="cross_attn")(
+            tgt + query_pos, memory + mem_pos, memory)
+        tgt = LayerNorm(dtype=self.dtype, name="norm2")(tgt + y)
+        y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(tgt)
+        y = nn.relu(y)
+        y = nn.Dense(tgt.shape[-1], dtype=self.dtype, name="linear2")(y)
+        return LayerNorm(dtype=self.dtype, name="norm3")(tgt + y)
+
+
+class BoxMLP(nn.Module):
+    """3-layer box head (reference ``MLP``, detr.py:297-309)."""
+
+    hidden: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="fc0")(x))
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x))
+        return nn.Dense(4, dtype=self.dtype, name="fc2")(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class DETRConfig:
+    num_classes: int = 91
+    num_queries: int = 100
+    hidden_dim: int = 256
+    num_heads: int = 8
+    enc_layers: int = 6
+    dec_layers: int = 6
+    ffn_dim: int = 2048
+    aux_loss: bool = True
+
+
+class DETR(nn.Module):
+    """Backbone feature map → encoder/decoder → class + box predictions.
+
+    ``backbone`` is any flax module returning a (B, H', W', C) feature map
+    (e.g. SwinTransformer(features_only=True) — the reference's
+    ``SwinTransformerOD`` mode — or the ResNet trunk).
+    """
+
+    config: DETRConfig
+    backbone: nn.Module
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        feats = self.backbone(x, deterministic)        # (B, H', W', C)
+        B, Hf, Wf, C = feats.shape
+        src = nn.Dense(cfg.hidden_dim, dtype=self.dtype, name="input_proj")(
+            feats.reshape(B, Hf * Wf, C))
+        pos = sine_position_embedding(Hf, Wf, cfg.hidden_dim).astype(src.dtype)
+
+        memory = src
+        for i in range(cfg.enc_layers):
+            memory = EncoderLayer(cfg.num_heads, cfg.ffn_dim,
+                                  dtype=self.dtype,
+                                  name=f"encoder_{i}")(memory, pos)
+
+        query_embed = self.param("query_embed", trunc_normal_init,
+                                 (cfg.num_queries, cfg.hidden_dim),
+                                 jnp.float32)
+        query_pos = jnp.broadcast_to(query_embed.astype(src.dtype),
+                                     (B, cfg.num_queries, cfg.hidden_dim))
+        tgt = jnp.zeros_like(query_pos)
+        class_head = nn.Dense(cfg.num_classes + 1, dtype=self.dtype,
+                              name="class_embed")
+        box_head = BoxMLP(cfg.hidden_dim, dtype=self.dtype, name="bbox_embed")
+
+        decoder_norm = LayerNorm(dtype=self.dtype, name="decoder_norm")
+        intermediates = []
+        for i in range(cfg.dec_layers):
+            tgt = DecoderLayer(cfg.num_heads, cfg.ffn_dim, dtype=self.dtype,
+                               name=f"decoder_{i}")(tgt, memory, query_pos, pos)
+            intermediates.append(decoder_norm(tgt))
+
+        outputs = []
+        for h in intermediates:
+            outputs.append({
+                "pred_logits": class_head(h),
+                "pred_boxes": nn.sigmoid(box_head(h)),
+            })
+        out = dict(outputs[-1])
+        if cfg.aux_loss:
+            out["aux_outputs"] = outputs[:-1]
+        return out
+
+
+# --------------------------------------------------------------------------
+# losses (SetCriterion equivalent) — jittable given host-computed assignment
+# --------------------------------------------------------------------------
+
+def detr_losses(outputs: Dict[str, jnp.ndarray], targets: Dict[str, jnp.ndarray],
+                assign: jnp.ndarray, num_classes: int,
+                *, eos_coef: float = 0.1, w_class: float = 1.0,
+                w_bbox: float = 5.0, w_giou: float = 2.0) -> Dict[str, jnp.ndarray]:
+    """Hungarian-matched losses (reference ``SetCriterion``,
+    ``object_detr/models/detr.py:91-263``): CE over all queries with
+    no-object down-weighting, L1 + GIoU on matched pairs, cardinality error.
+
+    ``assign`` (B, Q): gt slot per query or -1 (from ``matcher``).
+    Targets: ``labels`` (B, N) contiguous ids (1..K), ``boxes_cxcywh``
+    (B, N, 4) normalized, ``box_mask`` (B, N).
+    """
+    logits = outputs["pred_logits"].astype(jnp.float32)   # (B, Q, K+1)
+    boxes = outputs["pred_boxes"].astype(jnp.float32)     # (B, Q, 4)
+    B, Q, _ = logits.shape
+    matched = assign >= 0                                  # (B, Q)
+    safe_idx = jnp.maximum(assign, 0)
+    tgt_labels = jnp.take_along_axis(targets["labels"], safe_idx, axis=1)
+    # unmatched queries predict the no-object class (index 0 here; the
+    # reference uses index num_classes — we reserve 0 = background)
+    cls_target = jnp.where(matched, tgt_labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, cls_target[..., None], axis=2)[..., 0]
+    weights = jnp.where(matched, 1.0, eos_coef)
+    sample_mask = targets.get("mask", jnp.ones((B,), jnp.float32))
+    weights = weights * sample_mask[:, None]
+    loss_ce = jnp.sum(nll * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+    num_boxes = jnp.maximum(jnp.sum(targets["box_mask"] * sample_mask[:, None]),
+                            1.0)
+    tgt_boxes = jnp.take_along_axis(targets["boxes_cxcywh"],
+                                    safe_idx[..., None], axis=1)
+    pair_mask = matched.astype(jnp.float32) * sample_mask[:, None]
+    l1 = jnp.sum(jnp.abs(boxes - tgt_boxes), axis=-1)
+    loss_bbox = jnp.sum(l1 * pair_mask) / num_boxes
+    giou = generalized_box_iou(
+        cxcywh_to_xyxy(boxes.reshape(B * Q, 1, 4)),
+        cxcywh_to_xyxy(tgt_boxes.reshape(B * Q, 1, 4)))[:, 0, 0].reshape(B, Q)
+    loss_giou = jnp.sum((1.0 - giou) * pair_mask) / num_boxes
+
+    # cardinality (diagnostic, not backpropped in the reference either)
+    pred_nonempty = jnp.sum(
+        (jnp.argmax(logits, axis=-1) != 0).astype(jnp.float32), axis=1)
+    true_count = jnp.sum(targets["box_mask"], axis=1)
+    cardinality = jnp.mean(jnp.abs(pred_nonempty - true_count))
+
+    total = w_class * loss_ce + w_bbox * loss_bbox + w_giou * loss_giou
+    return {"loss": total, "loss_ce": loss_ce, "loss_bbox": loss_bbox,
+            "loss_giou": loss_giou,
+            "cardinality_error": jax.lax.stop_gradient(cardinality)}
+
+
+def postprocess(outputs: Dict[str, jnp.ndarray], image_size: int,
+                scale: jnp.ndarray, pad: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Scored xyxy boxes in *original image* coordinates (reference
+    ``PostProcess``, detr.py:266-294 + letterbox unmapping)."""
+    logits = outputs["pred_logits"]
+    prob = jax.nn.softmax(logits, axis=-1)[..., 1:]        # drop background
+    scores = jnp.max(prob, axis=-1)
+    labels = jnp.argmax(prob, axis=-1) + 1
+    boxes = cxcywh_to_xyxy(outputs["pred_boxes"]) * image_size
+    # unletterbox: subtract pad, divide by scale
+    pad_xy = jnp.concatenate([pad, pad], axis=-1)[:, None, :]   # (B,1,4)
+    boxes = (boxes - pad_xy) / scale[:, None, None]
+    return {"scores": scores, "labels": labels, "boxes": boxes}
