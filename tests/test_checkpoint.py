@@ -107,7 +107,7 @@ def test_import_logits_parity(torch_vit):
                                   image_size=IMG, dtype=jnp.float32)
     variables = zm.init(jax.random.PRNGKey(0), image_size=IMG)
     backbone = import_backbone("dino", _to_numpy_sd(torch_vit),
-                               variables["params"]["backbone"])
+                               variables["params"]["backbone"])["params"]
 
     rng = np.random.default_rng(0)
     x = rng.normal(0, 1, (4, IMG, IMG, 3)).astype(np.float32)
@@ -142,7 +142,7 @@ def test_pos_embed_interpolation_used_on_size_change(torch_vit):
                                   image_size=32, dtype=jnp.float32)
     variables = zm.init(jax.random.PRNGKey(0), image_size=32)
     backbone = import_backbone("dino", _to_numpy_sd(torch_vit),
-                               variables["params"]["backbone"])
+                               variables["params"]["backbone"])["params"]
     assert backbone["pos_embed"].shape == (1, 17, DIM)
 
 

@@ -205,24 +205,161 @@ def import_cait(sd: Dict[str, np.ndarray], target_params: Dict[str, Any],
     return out
 
 
+def _conv(sd, key):
+    """torch conv weight (O, I, kh, kw) → flax kernel (kh, kw, I, O)."""
+    return {"kernel": sd[f"{key}.weight"].transpose(2, 3, 1, 0)}
+
+
+def _bn(sd, prefix):
+    """torch BatchNorm → (params, batch_stats) pair."""
+    params = {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+    stats = {"mean": sd[f"{prefix}.running_mean"],
+             "var": sd[f"{prefix}.running_var"]}
+    return params, stats
+
+
+def import_resnet(sd: Dict[str, np.ndarray], target_params: Dict[str, Any],
+                  ) -> Dict[str, Any]:
+    """Map a torchvision ResNeXt/WRN state_dict onto our ResNet tree.
+    Returns ``{"params": ..., "batch_stats": ...}`` (BN running stats)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(name, conv_key=None, bn_key=None):
+        node_p, node_s = {}, {}
+        if conv_key:
+            node_p.update(_conv(sd, conv_key))
+        if bn_key:
+            p, s = _bn(sd, bn_key)
+            node_p.update(p)
+            node_s.update(s)
+        return node_p, node_s
+
+    params["conv1"], _ = put(None, conv_key="conv1")
+    params["bn1"], stats["bn1"] = _bn(sd, "bn1")
+    for li in range(1, 5):
+        bi = 0
+        while f"layer{li}.{bi}.conv1.weight" in sd:
+            b = f"layer{li}.{bi}"
+            name = f"layer{li}_{bi}"
+            node_p, node_s = {}, {}
+            for j in (1, 2, 3):
+                node_p[f"conv{j}"] = _conv(sd, f"{b}.conv{j}")
+                node_p[f"bn{j}"], node_s[f"bn{j}"] = _bn(sd, f"{b}.bn{j}")
+            if f"{b}.downsample.0.weight" in sd:
+                node_p["downsample_conv"] = _conv(sd, f"{b}.downsample.0")
+                node_p["downsample_bn"], node_s["downsample_bn"] = _bn(
+                    sd, f"{b}.downsample.1")
+            params[name] = node_p
+            stats[name] = node_s
+            bi += 1
+    return {"params": params, "batch_stats": stats}
+
+
+def import_xcit(sd: Dict[str, np.ndarray], target_params: Dict[str, Any],
+                ) -> Dict[str, Any]:
+    """Map a facebookresearch/xcit state_dict onto our XCiT tree.
+    Returns ``{"params": ..., "batch_stats": ...}``."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    # conv patch-embed: Sequential of conv3x3(=Conv+BN) at even indices
+    pe_p, pe_s = {}, {}
+    i = 0
+    seq = 0
+    while f"patch_embed.proj.{seq}.0.weight" in sd:
+        pe_p[f"conv{i}"] = _conv(sd, f"patch_embed.proj.{seq}.0")
+        pe_p[f"bn{i}"], pe_s[f"bn{i}"] = _bn(sd, f"patch_embed.proj.{seq}.1")
+        i += 1
+        seq += 2  # GELU between conv blocks
+    params["patch_embed"] = pe_p
+    stats["patch_embed"] = pe_s
+    params["cls_token"] = sd["cls_token"]
+    # Fourier pos-encoding projection: 1x1 conv (dim, 64, 1, 1)
+    w = sd["pos_embeder.token_projection.weight"]
+    params["pos_proj_kernel"] = w[:, :, 0, 0].T
+    params["pos_proj_bias"] = sd["pos_embeder.token_projection.bias"]
+
+    depth = len([k for k in sd if re.match(r"blocks\.\d+\.norm1\.weight$", k)])
+    for bi in range(depth):
+        b = f"blocks.{bi}"
+        lp, ls = {}, {}
+        lp["conv1"] = _conv(sd, f"{b}.local_mp.conv1")
+        lp["conv1"]["bias"] = sd[f"{b}.local_mp.conv1.bias"]
+        lp["conv2"] = _conv(sd, f"{b}.local_mp.conv2")
+        lp["conv2"]["bias"] = sd[f"{b}.local_mp.conv2.bias"]
+        lp["bn"], ls["bn"] = _bn(sd, f"{b}.local_mp.bn")
+        params[f"blocks_{bi}"] = {
+            "gamma1": sd[f"{b}.gamma1"],
+            "gamma2": sd[f"{b}.gamma2"],
+            "gamma3": sd[f"{b}.gamma3"],
+            "norm1": _norm(sd, f"{b}.norm1"),
+            "norm2": _norm(sd, f"{b}.norm2"),
+            "norm3": _norm(sd, f"{b}.norm3"),
+            "attn": {"qkv": _linear(sd, f"{b}.attn.qkv"),
+                     "proj": _linear(sd, f"{b}.attn.proj"),
+                     "temperature": sd[f"{b}.attn.temperature"]},
+            "mlp": {"fc1": _linear(sd, f"{b}.mlp.fc1"),
+                    "fc2": _linear(sd, f"{b}.mlp.fc2")},
+            "local_mp": lp,
+        }
+        stats[f"blocks_{bi}"] = {"local_mp": ls}
+    n_ca = len([k for k in sd
+                if re.match(r"cls_attn_blocks\.\d+\.norm1\.weight$", k)])
+    for bi in range(n_ca):
+        b = f"cls_attn_blocks.{bi}"
+        params[f"cls_attn_blocks_{bi}"] = {
+            "gamma1": sd[f"{b}.gamma1"],
+            "gamma2": sd[f"{b}.gamma2"],
+            "norm1": _norm(sd, f"{b}.norm1"),
+            "norm2": _norm(sd, f"{b}.norm2"),
+            "attn": {"qkv": _linear(sd, f"{b}.attn.qkv"),
+                     "proj": _linear(sd, f"{b}.attn.proj")},
+            "mlp": {"fc1": _linear(sd, f"{b}.mlp.fc1"),
+                    "fc2": _linear(sd, f"{b}.mlp.fc2")},
+        }
+    params["norm"] = _norm(sd, "norm")
+    return {"params": params, "batch_stats": stats}
+
+
 _FAMILY_IMPORTERS = {"dino": import_vit, "deit": import_vit,
-                     "swin": import_swin, "cait": import_cait}
+                     "swin": import_swin, "cait": import_cait,
+                     "xcit": import_xcit, "resnet": import_resnet}
 
 
 def register_importer(family: str, fn) -> None:
     _FAMILY_IMPORTERS[family] = fn
 
 
+# families whose importers return multiple variable collections
+_MULTI_COLLECTION = {"xcit", "resnet"}
+
+
 def import_backbone(family: str, sd: Dict[str, np.ndarray],
-                    target_backbone: Dict[str, Any]) -> Dict[str, Any]:
+                    target_backbone: Dict[str, Any],
+                    target_collections: Optional[Dict[str, Any]] = None,
+                    ) -> Dict[str, Any]:
+    """Returns ``{"params": tree[, "batch_stats": tree]}`` for the backbone."""
     if family not in _FAMILY_IMPORTERS:
         raise NotImplementedError(
             f"torch import for family {family!r} not implemented yet")
     imported = _FAMILY_IMPORTERS[family](sd, target_backbone)
-    _check_tree_shapes(imported, target_backbone, family)
-    return jax.tree.map(lambda t, s: jnp.asarray(s, jnp.asarray(t).dtype)
-                        if not isinstance(s, jnp.ndarray) else s,
-                        target_backbone, imported)
+    if family not in _MULTI_COLLECTION:
+        imported = {"params": imported}
+    _check_tree_shapes(imported["params"], target_backbone, family)
+    out = {"params": jax.tree.map(
+        lambda t, s: jnp.asarray(s, jnp.asarray(t).dtype),
+        target_backbone, imported["params"])}
+    for coll, tree in imported.items():
+        if coll == "params":
+            continue
+        target = (target_collections or {}).get(coll)
+        if target is not None:
+            _check_tree_shapes(tree, target, f"{family}:{coll}")
+            tree = jax.tree.map(
+                lambda t, s: jnp.asarray(s, jnp.asarray(t).dtype),
+                target, tree)
+        out[coll] = tree
+    return out
 
 
 def _check_tree_shapes(imported, target, family):
@@ -245,10 +382,11 @@ def _check_tree_shapes(imported, target, family):
 def load_pretrained_params(zoo_model, image_size: int,
                            torch_ckpt: Optional[str], seed: int = 0,
                            image_channels: int = 3) -> Dict[str, Any]:
-    """Init the model and replace the backbone subtree from a torch ckpt."""
-    variables = zoo_model.init(jax.random.PRNGKey(seed), image_size=image_size,
-                               image_channels=image_channels)
-    params = dict(variables["params"])
+    """Init the model and replace the backbone subtree(s) from a torch ckpt.
+    Returns the full variables dict ({'params': ...[, 'batch_stats': ...]})."""
+    variables = dict(zoo_model.init(jax.random.PRNGKey(seed),
+                                    image_size=image_size,
+                                    image_channels=image_channels))
     if not torch_ckpt:
         raise ValueError(
             "--pretrained requires --torch_ckpt <path> in this environment "
@@ -256,6 +394,15 @@ def load_pretrained_params(zoo_model, image_size: int,
     if not os.path.exists(torch_ckpt):
         raise FileNotFoundError(torch_ckpt)
     sd = load_torch_state_dict(torch_ckpt)
-    params["backbone"] = import_backbone(zoo_model.family, sd,
-                                         params["backbone"])
-    return params
+    target_collections = {k: v.get("backbone") for k, v in variables.items()
+                          if k != "params" and isinstance(v, dict)}
+    imported = import_backbone(zoo_model.family, sd,
+                               variables["params"]["backbone"],
+                               target_collections)
+    variables["params"] = {**variables["params"],
+                           "backbone": imported["params"]}
+    for coll, tree in imported.items():
+        if coll == "params":
+            continue
+        variables[coll] = {**variables.get(coll, {}), "backbone": tree}
+    return variables

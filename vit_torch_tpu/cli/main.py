@@ -41,17 +41,28 @@ def main(argv: Optional[Sequence[str]] = None) -> Stats:
     mesh = make_mesh(args["mesh"])
     dtype = jnp.bfloat16 if args["dtype"] == "bfloat16" else jnp.float32
 
-    data = Datasets(args["dataset"], image_size=args["image_size"],
-                    bs=args["bs"], root_path=args["root_path"],
-                    data_path=args["data_path"],
-                    limit_train=args["limit_train"],
-                    limit_test=args["limit_test"], seed=args["seed"])
+    image_channels = 3
+    if args["dataset"] == "tire":
+        from vit_torch_tpu.data.tire import get_tire_dataset
+        data = get_tire_dataset(args["data_path"] or args["root_path"],
+                                image_size=args["image_size"] or 224,
+                                bs=args["bs"], settings=args["tire_settings"],
+                                seed=args["seed"],
+                                limit_train=args["limit_train"],
+                                limit_test=args["limit_test"])
+        image_channels = data.image_channels
+    else:
+        data = Datasets(args["dataset"], image_size=args["image_size"],
+                        bs=args["bs"], root_path=args["root_path"],
+                        data_path=args["data_path"],
+                        limit_train=args["limit_train"],
+                        limit_test=args["limit_test"], seed=args["seed"])
 
     classifier = [*args["fc"], data.num_labels]
     zoo_model = VisionModelZoo.get_model(
         args["arch"], pretrained=args["pretrained"],
         classifier=classifier, image_size=data.image_size, dtype=dtype,
-        torch_ckpt=args["torch_ckpt"] or None)
+        image_channels=image_channels, torch_ckpt=args["torch_ckpt"] or None)
 
     init_params = None
     if args["pretrained"]:
@@ -82,13 +93,24 @@ def main(argv: Optional[Sequence[str]] = None) -> Stats:
         lineareval=args["lineareval"],
         earlystop_epoch=args["earlystop_epoch"],
         seed=args["seed"], stats=stats,
-        image_size=data.image_size, init_params=init_params, mesh=mesh,
+        image_size=data.image_size, image_channels=image_channels,
+        init_params=init_params, mesh=mesh,
         ckpt_dir=args["ckpt_dir"], save_every=args["save_every"],
         resume=args["resume"],
-        augment_fn=make_train_augment(**data.norm_values, dtype=dtype),
+        augment_fn=make_train_augment(**data.norm_values, dtype=dtype,
+                                      auto_policy=args["aug_auto"] or None),
         eval_transform=make_eval_transform(**data.norm_values, dtype=dtype),
     )
-    trainer.fit(data.loaders)
+    use_scan = (args["scan"] and len(mesh.devices.reshape(-1)) == 1
+                and hasattr(data, "sets"))
+    sets = ({"train": data.sets["train"], "val": data.sets["test"]}
+            if hasattr(data, "sets") and "test" in data.sets else None)
+    if args["lineareval"] and args["cache_features"] and sets is not None:
+        trainer.fit_lineareval_cached(sets, args["bs"])
+    elif use_scan and sets is not None:
+        trainer.fit_scan(sets, args["bs"])
+    else:
+        trainer.fit(data.loaders)
     print("\nresults:", json.dumps(stats.update_results(), indent=2))
     if args["stats_fp"]:
         print("stats saved to", args["stats_fp"])

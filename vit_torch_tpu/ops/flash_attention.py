@@ -223,13 +223,21 @@ _attention.defvjp(_attention_fwd, _attention_bwd)
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     scale: Optional[float] = None,
-                    block_q: int = 128) -> jax.Array:
+                    block_q: Optional[int] = None) -> jax.Array:
     """Fused attention over ``(B, N, H, D)`` tensors (flax layout).
 
     Differentiable (custom VJP with analytic Pallas backward kernels).
+
+    ``block_q=None`` picks the measured-fastest tiling: one q-block per
+    (batch, head) program when the whole padded sequence fits VMEM budget
+    (≤1024 tokens: 1.6× over 128-blocks on v5e — fewer, fatter programs),
+    else 512-token blocks.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if block_q is None:
+        n_pad = _round_up(q.shape[1], LANE)
+        block_q = n_pad if n_pad <= 1024 else 512
     # (B, N, H, D) -> (B, H, N, D) for per-(batch, head) kernels
     qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
     out = _attention(qt, kt, vt, float(scale), int(block_q))

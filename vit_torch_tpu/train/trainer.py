@@ -84,6 +84,9 @@ class Trainer:
         self.lr_factor_fn = get_lr_factor_fn(lr_scheduler, lr_step, lr_gamma,
                                              lr_scale)
         self.tx = get_optimizer(opt, lr)
+        self.augment_fn = augment_fn
+        self.eval_transform = eval_transform
+        self.seed = seed
 
         rng = jax.random.PRNGKey(seed)
         init_rng, state_rng = jax.random.split(rng)
@@ -189,6 +192,119 @@ class Trainer:
                 if self.print_progress:
                     print(f"\nearly stop at epoch {epoch}: no val improvement "
                           f"in {self.earlystop_epoch} epochs")
+                break
+        S.finish(save=True)
+        return S
+
+    # ------------------------------------------------------------------
+    def fit_scan(self, sets: Dict[str, Any], batch_size: int) -> Stats:
+        """Epoch-scan training (see ``train/scan.py``): the whole dataset is
+        device-resident; each epoch's train and eval are ONE compiled
+        dispatch each.  ``sets`` maps split → (uint8 images, labels)."""
+        import jax.numpy as jnp
+        from vit_torch_tpu.train.scan import (
+            epoch_indices, make_scan_eval_fn, make_scan_train_fn)
+
+        apply_fn = self.zoo_model.model.apply
+        train_run = make_scan_train_fn(apply_fn, self.tx, self.augment_fn)
+        eval_run = make_scan_eval_fn(apply_fn, self.eval_transform)
+        device_sets = {
+            split: (jnp.asarray(imgs), jnp.asarray(labels))
+            for split, (imgs, labels) in sets.items()}
+        return self._scan_epoch_loop(train_run, eval_run, device_sets,
+                                     batch_size)
+
+    def fit_lineareval_cached(self, sets: Dict[str, Any],
+                              batch_size: int) -> Stats:
+        """Cached-feature linear-eval: the frozen backbone runs ONCE over
+        each split (device scan), then every epoch trains only the MLP head
+        on the cached features — the reference's frozen-representation
+        datasets (``utils_datasets.py:342-527``), which its active path never
+        used (it recomputed frozen features every epoch,
+        ``utils_network.py:413-415``).  Train-time random augmentation is
+        skipped, exactly like the reference's cached datasets."""
+        import jax.numpy as jnp
+        from vit_torch_tpu.train.scan import (
+            cache_backbone_features, make_scan_eval_fn, make_scan_train_fn)
+        from vit_torch_tpu.train.steps import create_train_state
+
+        assert self.lineareval, "fit_lineareval_cached requires lineareval"
+        backbone = self.zoo_model.model.backbone
+        head = self.zoo_model.model.head
+        assert head is not None
+        bb_params = self.state.frozen["backbone"]
+        bb_state = {k: v["backbone"] for k, v in
+                    self.state.model_state.items() if "backbone" in v}
+
+        device_sets = {}
+        for split, (imgs, labels) in sets.items():
+            feats = cache_backbone_features(
+                backbone.apply, bb_params, imgs, batch_size,
+                self.eval_transform, model_state=bb_state)
+            device_sets[split] = (feats, jnp.asarray(labels))
+
+        def head_apply(variables, x, deterministic=True, **kw):
+            return head.apply({"params": variables["params"]["head"]}, x)
+
+        outer_state = self.state
+        self.state = create_train_state(
+            jax.random.fold_in(outer_state.rng, 1),
+            {"head": outer_state.params["head"]}, self.tx, lineareval=False)
+        train_run = make_scan_train_fn(head_apply, self.tx, None)
+        eval_run = make_scan_eval_fn(head_apply, None)
+        try:
+            stats = self._scan_epoch_loop(train_run, eval_run, device_sets,
+                                          batch_size)
+        finally:
+            head_params = self.state.params["head"]
+            self.state = outer_state.replace(
+                params={**outer_state.params, "head": head_params})
+        return stats
+
+    def _scan_epoch_loop(self, train_run, eval_run, device_sets,
+                         batch_size: int) -> Stats:
+        from vit_torch_tpu.train.scan import epoch_indices
+        rng = __import__("numpy").random.default_rng(self.seed)
+
+        S = self.stats
+        val_accs = []
+        best_acc = -1.0
+        for epoch in range(self.start_epoch, self.epochs):
+            lr = self.base_lr * self.lr_factor_fn(epoch)
+            self.state = set_learning_rate(self.state, lr)
+            for split, training in (("train", True), ("val", False)):
+                if split not in device_sets:
+                    continue
+                images, labels = device_sets[split]
+                S.set_split(split)
+                S.new_round(epoch)
+                idx, msk = epoch_indices(len(labels), batch_size, rng,
+                                         shuffle=training)
+                if training:
+                    self.state, m = train_run(self.state, images, labels,
+                                              idx, msk)
+                else:
+                    m = eval_run(self.state, images, labels, idx, msk)
+                final = finalize_metrics(m)
+                S.update(sample_count=int(final["count"]), lr=lr,
+                         acc=final["acc"], loss=final["loss"])
+                S.finish_round(save=True)
+                if self.print_progress:
+                    S.print(force=True, end="\n")
+                if split == "val":
+                    val_accs.append(final["acc"])
+                    if self.ckpt_dir:
+                        is_best = final["acc"] > best_acc
+                        best_acc = max(best_acc, final["acc"])
+                        if is_best or (self.save_every
+                                       and epoch % self.save_every == 0):
+                            from vit_torch_tpu.checkpoint.orbax_io import (
+                                save_checkpoint)
+                            save_checkpoint(self.ckpt_dir, self.state, epoch,
+                                            metrics={"val_acc": final["acc"]})
+            if should_early_stop(val_accs, self.earlystop_epoch):
+                if self.print_progress:
+                    print(f"\nearly stop at epoch {epoch}")
                 break
         S.finish(save=True)
         return S

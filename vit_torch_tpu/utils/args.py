@@ -161,6 +161,10 @@ def classification_config(stamp: Optional[str] = None) -> List[Tuple]:
         ("fc", [], int, None, "the units for the additional fc layers"),
         ("image_size", 0, int, None,
          "size to resize the input image to, defaults to 0 meaning image is untouched"),
+        ("tire_settings", 0, int, None,
+         "settings [0-3] for tire dataset preprocessing"),
+        ("aug_auto", "", str, ["", "imagenet", "cifar10", "stl10", "svhn"],
+         "device-side AutoAugment policy ('' disables)"),
         # --- net-new (no reference equivalent): checkpointing / resume / precision ---
         ("ckpt_dir", "", str, None, "orbax checkpoint directory ('' disables saving)"),
         ("resume", "", str, None, "checkpoint path to resume training from"),
@@ -171,4 +175,10 @@ def classification_config(stamp: Optional[str] = None) -> List[Tuple]:
          "mesh spec like 'data=8' or 'data=4,model=2' ('' = all devices on data)"),
         ("torch_ckpt", "", str, None,
          "path to a torch state_dict checkpoint to import for --pretrained"),
+        ("scan", 1, int, [0, 1],
+         "epoch-scan mode: dataset device-resident, one dispatch per epoch "
+         "(single-chip; multi-chip meshes use the per-step path)"),
+        ("cache_features", False, bool, None,
+         "lineareval: cache frozen backbone features once and train only "
+         "the head (the reference's frozen-representation datasets)"),
     ]
