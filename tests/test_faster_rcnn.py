@@ -1,0 +1,152 @@
+"""Tests for the FasterRCNN two-stage detector."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_torch_tpu.detection.faster_rcnn import (
+    FasterRCNN, FasterRCNNConfig, decode_boxes, encode_boxes,
+    faster_rcnn_losses, faster_rcnn_predict, generate_anchors, match_to_gt,
+    roi_align, sample_balanced, smooth_l1,
+)
+from vit_torch_tpu.models.resnet import RESNET_CONFIGS, ResNet
+
+CFG = FasterRCNNConfig(num_classes=3, image_size=64, strides=(4, 8),
+                       anchor_sizes=(8.0, 16.0), num_proposals=32,
+                       rpn_pre_nms_topk=64, rpn_batch=32, roi_batch=16,
+                       detections=10)
+
+
+def test_anchor_grid_static():
+    a = generate_anchors(64, (4, 8), (8.0, 16.0))
+    n = 3 * (16 * 16) + 3 * (8 * 8)
+    assert a.shape == (n, 4)
+    # centers on the stride grid
+    cx = (a[:, 0] + a[:, 2]) / 2
+    assert cx.min() >= 0 and cx.max() <= 64
+
+
+def test_box_coding_roundtrip():
+    anchors = jnp.asarray([[10.0, 10, 30, 30], [0, 0, 8, 16]])
+    boxes = jnp.asarray([[12.0, 8, 33, 29], [1, 2, 9, 18]])
+    deltas = encode_boxes(boxes, anchors)
+    back = decode_boxes(deltas, anchors)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(boxes), atol=1e-4)
+
+
+def test_smooth_l1_regions():
+    x = jnp.asarray([0.0, 0.05, 1.0])
+    out = np.asarray(smooth_l1(x, beta=1 / 9))
+    assert out[0] == 0
+    assert out[1] == pytest.approx(0.5 * 0.05 ** 2 / (1 / 9))
+    assert out[2] == pytest.approx(1.0 - 0.5 / 9)
+
+
+def test_match_to_gt_thresholds():
+    cands = jnp.asarray([[0.0, 0, 10, 10], [0, 0, 9, 9], [40, 40, 50, 50],
+                         [2, 2, 12, 12]])
+    gt = jnp.asarray([[0.0, 0, 10, 10], [0, 0, 0, 0]])
+    mask = jnp.asarray([1.0, 0.0])
+    idx, label = match_to_gt(cands, gt, mask, hi=0.7, lo=0.3)
+    assert label[0] == 1 and idx[0] == 0     # exact match
+    assert label[1] == 1                      # iou .81
+    assert label[2] == 0                      # disjoint -> negative
+    assert label[3] == -1                     # iou ~.47 -> ignore band
+
+
+def test_match_low_quality_rescue():
+    cands = jnp.asarray([[0.0, 0, 6, 6], [20, 20, 30, 30]])
+    gt = jnp.asarray([[0.0, 0, 10, 10]])
+    mask = jnp.asarray([1.0])
+    _, label = match_to_gt(cands, gt, mask, hi=0.7, lo=0.3,
+                           allow_low_quality=True)
+    assert label[0] == 1  # best anchor for the gt is forced positive
+
+
+def test_sample_balanced_counts():
+    rng = jax.random.PRNGKey(0)
+    label = jnp.asarray([1] * 3 + [0] * 20 + [-1] * 5)
+    idx, weight, is_pos = sample_balanced(rng, label, 16, 0.25)
+    assert idx.shape == (16,)
+    assert float(is_pos.sum()) == 3          # only 3 positives exist
+    assert float(weight.sum()) == 15         # 3 pos + 12 neg valid
+
+
+def test_roi_align_constant_map():
+    feats = [jnp.full((1, 16, 16, 4), 7.0), jnp.full((1, 8, 8, 4), 3.0)]
+    boxes = jnp.asarray([[[4.0, 4, 12, 12]]])   # small box -> level 0
+    out = roi_align(feats, boxes, (4, 8), output_size=3)
+    assert out.shape == (1, 1, 3, 3, 4)
+    np.testing.assert_allclose(np.asarray(out), 7.0, atol=1e-5)
+
+
+def _build_model():
+    backbone = ResNet(RESNET_CONFIGS["resnet_test"], dtype=jnp.float32,
+                      features_only=True, name="backbone")
+    model = FasterRCNN(CFG, backbone, dtype=jnp.float32)
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, deterministic=True)
+    return model, variables
+
+
+def test_faster_rcnn_forward_shapes():
+    model, variables = _build_model()
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    out = model.apply(variables, x, deterministic=True)
+    n_anchors = 3 * (16 * 16 + 8 * 8)
+    assert out["rpn_logits"].shape == (2, n_anchors)
+    assert out["rpn_deltas"].shape == (2, n_anchors, 4)
+    assert out["proposals"].shape == (2, 32, 4)
+    assert out["cls_logits"].shape == (2, 32, 4)      # 3 classes + bg
+    assert out["box_deltas"].shape == (2, 32, 4, 4)
+
+
+def test_faster_rcnn_losses_and_grad():
+    model, variables = _build_model()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)), jnp.float32)
+    targets = {
+        "boxes": jnp.asarray([[[8.0, 8, 24, 24], [30, 30, 50, 50]],
+                              [[10.0, 20, 30, 40], [0, 0, 0, 0]]]),
+        "labels": jnp.asarray([[1, 2], [3, 0]]),
+        "box_mask": jnp.asarray([[1.0, 1.0], [1.0, 0.0]]),
+        "mask": jnp.asarray([1.0, 1.0]),
+    }
+
+    def loss_fn(params):
+        out = model.apply({"params": params, **{
+            k: v for k, v in variables.items() if k != "params"}},
+            x, deterministic=True)
+        losses = faster_rcnn_losses(out, targets, CFG, jax.random.PRNGKey(1))
+        return losses["loss"], losses
+
+    (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+    assert np.isfinite(float(loss))
+    for key in ("loss_rpn_cls", "loss_rpn_reg", "loss_cls", "loss_reg"):
+        assert np.isfinite(float(losses[key])), key
+    gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_faster_rcnn_predict_shapes():
+    model, variables = _build_model()
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    out = model.apply(variables, x, deterministic=True)
+    preds = faster_rcnn_predict(out, CFG,
+                                scale=jnp.ones(2), pad=jnp.zeros((2, 2)))
+    assert preds["boxes"].shape == (2, 10, 4)
+    assert preds["scores"].shape == (2, 10)
+    assert preds["labels"].shape == (2, 10)
+
+
+def test_faster_rcnn_smoke_cli(tmp_path):
+    from vit_torch_tpu.cli.coco import main
+    fp = str(tmp_path / "stats.json")
+    record = main(["--test", "--head", "faster_rcnn", "--epochs", "1",
+                   "--lr", "0.005", "--stats_fp", fp])
+    assert record["telem"]["completed"] is True
+    row = record["logs"][0]
+    assert np.isfinite(row["train"]["loss_total"])
+    assert "ap" in row["val"]["bbox"]

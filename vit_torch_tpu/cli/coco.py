@@ -31,6 +31,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_root", default="", type=str,
                    help="COCO dir: {train,validation}/{data,labels.json}")
     p.add_argument("--backbone", default="swin_tiny_patch4_window7_224")
+    p.add_argument("--head", default="detr", choices=["detr", "faster_rcnn"],
+                   help="detection head: DETR set-prediction (object_detr/) "
+                        "or FasterRCNN two-stage (object/)")
     p.add_argument("--image_size", default=512, type=int)
     p.add_argument("--bs", default=8, type=int)
     p.add_argument("--epochs", default=10, type=int)
@@ -102,29 +105,58 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     from vit_torch_tpu.models.swin import SWIN_CONFIGS, SwinTransformer
     from vit_torch_tpu.models.resnet import RESNET_CONFIGS, ResNet
-    if args.backbone in SWIN_CONFIGS:
-        backbone = SwinTransformer(SWIN_CONFIGS[args.backbone], dtype=dtype,
-                                   features_only=True, name="backbone")
-    elif args.backbone in RESNET_CONFIGS:
-        raise NotImplementedError(
-            "resnet feature-map backbone for detection lands with the "
-            "FasterRCNN head")
-    else:
-        raise ValueError(f"unsupported detection backbone {args.backbone!r}")
-
-    cfg = DETRConfig(num_classes=train_ds.num_classes,
-                     num_queries=args.num_queries,
-                     hidden_dim=args.hidden_dim, enc_layers=args.enc_layers,
-                     dec_layers=args.dec_layers)
-    model = DETR(cfg, backbone, dtype=dtype)
     dummy = jnp.zeros((1, args.image_size, args.image_size, 3), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), dummy, True)["params"]
-    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-    print(f"model: {n_params / 1e6:.1f}M params")
 
-    trainer = DetectionTrainer(model, params, image_size=args.image_size,
-                               num_classes=train_ds.num_classes, lr=args.lr,
-                               weight_decay=args.weight_decay)
+    if args.head == "faster_rcnn":
+        from vit_torch_tpu.detection.engine import FasterRCNNTrainer
+        from vit_torch_tpu.detection.faster_rcnn import (
+            FasterRCNN, FasterRCNNConfig)
+        rn_arch = args.backbone if args.backbone in RESNET_CONFIGS else \
+            ("resnet_test" if args.test else "resnext50_32x4d")
+        backbone = ResNet(RESNET_CONFIGS[rn_arch], dtype=dtype,
+                          features_only=True, name="backbone")
+        n_stages = len(RESNET_CONFIGS[rn_arch].layers)
+        strides = tuple(4 * 2 ** i for i in range(n_stages))
+        sizes = tuple(32.0 * 2 ** i for i in range(n_stages))
+        if args.test:
+            sizes = tuple(8.0 * 2 ** i for i in range(n_stages))
+        cfg = FasterRCNNConfig(
+            num_classes=train_ds.num_classes, image_size=args.image_size,
+            strides=strides, anchor_sizes=sizes,
+            num_proposals=64 if args.test else 256,
+            rpn_pre_nms_topk=128 if args.test else 1000,
+            rpn_batch=64 if args.test else 256,
+            roi_batch=32 if args.test else 128,
+            detections=20 if args.test else 100)
+        model = FasterRCNN(cfg, backbone, dtype=dtype)
+        variables = model.init(jax.random.PRNGKey(0), dummy,
+                               deterministic=True)
+        params = variables["params"]
+        trainer = FasterRCNNTrainer(model, params, cfg=cfg, lr=args.lr)
+        trainer.model_state = {k: v for k, v in variables.items()
+                               if k != "params"}
+    else:
+        if args.backbone in SWIN_CONFIGS:
+            backbone = SwinTransformer(SWIN_CONFIGS[args.backbone],
+                                       dtype=dtype, features_only=True,
+                                       name="backbone")
+        else:
+            raise ValueError(
+                f"unsupported DETR backbone {args.backbone!r} (use a swin "
+                f"config, or --head faster_rcnn for resnets)")
+        cfg = DETRConfig(num_classes=train_ds.num_classes,
+                         num_queries=args.num_queries,
+                         hidden_dim=args.hidden_dim,
+                         enc_layers=args.enc_layers,
+                         dec_layers=args.dec_layers)
+        model = DETR(cfg, backbone, dtype=dtype)
+        params = model.init(jax.random.PRNGKey(0), dummy, True)["params"]
+        trainer = DetectionTrainer(model, params, image_size=args.image_size,
+                                   num_classes=train_ds.num_classes,
+                                   lr=args.lr,
+                                   weight_decay=args.weight_decay)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"model: {n_params / 1e6:.1f}M params ({args.head})")
 
     record = {
         "info": vars(args),

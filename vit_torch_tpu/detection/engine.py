@@ -184,3 +184,115 @@ class DetectionTrainer:
         evaluator.synchronize_between_processes()
         evaluator.accumulate()
         return evaluator.summarize()
+
+
+class FasterRCNNTrainer:
+    """Two-stage detector engine — the reference's FasterRCNN training path
+    (``object/coco_pipeline.py:442-559`` with ``object/engine.py``), rebuilt
+    fully jittable: matching and sampling run on device, so the entire train
+    step is ONE XLA program (no host round-trip at all)."""
+
+    def __init__(self, model, params, *, cfg, lr: float = 2e-3,
+                 momentum: float = 0.9, weight_decay: float = 5e-4,
+                 norm_values: Optional[dict] = None) -> None:
+        # reference optimizer: SGD(momentum .9, wd 5e-4), coco_pipeline.py:464-476
+        self.model = model
+        self.cfg = cfg
+        self.norm = norm_values or NORM_VALUES["imagenet"]
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(10.0),
+            optax.inject_hyperparams(
+                lambda learning_rate: optax.sgd(learning_rate,
+                                                momentum=momentum))(
+                learning_rate=lr))
+        self.base_lr = lr
+        self.weight_decay = weight_decay
+        self.params = params
+        self.opt_state = self.tx.init(params)
+        self.rng = jax.random.PRNGKey(0)
+        self._build_steps()
+
+    def _build_steps(self) -> None:
+        from vit_torch_tpu.detection.faster_rcnn import (
+            faster_rcnn_losses, faster_rcnn_predict)
+        model, cfg, norm = self.model, self.cfg, self.norm
+
+        @jax.jit
+        def train_step(params, opt_state, batch, rng, model_state):
+            def loss_fn(p):
+                images = normalize(jnp.asarray(batch["image"]), **norm)
+                variables = {"params": p, **model_state}
+                mutable = list(model_state.keys())
+                if mutable:
+                    outputs, new_ms = model.apply(variables, images,
+                                                  deterministic=False,
+                                                  mutable=mutable)
+                else:
+                    outputs = model.apply(variables, images,
+                                          deterministic=False)
+                    new_ms = {}
+                targets = {"boxes": jnp.asarray(batch["boxes"]),
+                           "labels": jnp.asarray(batch["labels"]),
+                           "box_mask": jnp.asarray(batch["box_mask"]),
+                           "mask": jnp.asarray(batch["mask"])}
+                losses = faster_rcnn_losses(outputs, targets, cfg, rng)
+                return losses["loss"], (losses, new_ms)
+
+            (loss, (losses, new_ms)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, losses, new_ms
+
+        @jax.jit
+        def predict(params, batch, model_state):
+            images = normalize(jnp.asarray(batch["image"]), **norm)
+            outputs = model.apply({"params": params, **model_state}, images,
+                                  deterministic=True)
+            return faster_rcnn_predict(outputs, cfg,
+                                       jnp.asarray(batch["scale"]),
+                                       jnp.asarray(batch["pad"]))
+
+        self._train_step = train_step
+        self._predict_fn = predict
+        self.model_state: Dict = {}
+
+    def set_lr(self, lr: float) -> None:
+        inner = self.opt_state[1]
+        self.opt_state = (self.opt_state[0], inner._replace(
+            hyperparams={**inner.hyperparams,
+                         "learning_rate": jnp.asarray(lr, jnp.float32)}))
+
+    def _predict(self, params, batch):
+        return self._predict_fn(params, batch, self.model_state)
+
+    def train_one_epoch(self, loader, epoch: int, print_freq: int = 10,
+                        warmup: bool = True, log_fn: Optional[Callable] = None,
+                        ) -> Dict[str, float]:
+        n_batches = len(loader)
+        totals: Dict[str, float] = {}
+        count = 0
+        for i, batch in enumerate(loader):
+            if warmup and epoch == 0:
+                frac = (i + 1) / max(min(n_batches, 1000), 1)
+                self.set_lr(self.base_lr * min(frac, 1.0))
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.params, self.opt_state, logs, self.model_state = \
+                self._train_step(self.params, self.opt_state, batch,
+                                 step_rng, self.model_state)
+            logs = {k: float(v) for k, v in logs.items()}
+            if not np.isfinite(logs["loss"]):
+                print(f"Loss is {logs['loss']}, stopping training")
+                print(logs)
+                sys.exit(1)
+            for k, v in logs.items():
+                totals[k] = totals.get(k, 0.0) + v
+            count += 1
+            if log_fn and (i % print_freq == 0 or i == n_batches - 1):
+                log_fn(i, n_batches, logs)
+        out = {k: v / max(count, 1) for k, v in totals.items()}
+        out["loss_total"] = out.pop("loss")
+        return out
+
+    # COCO evaluation shares the DETR engine implementation
+    evaluate = DetectionTrainer.evaluate

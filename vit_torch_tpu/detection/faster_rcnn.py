@@ -1,0 +1,422 @@
+"""Faster R-CNN — two-stage detector, TPU-native (fixed shapes end to end).
+
+Capability parity with the reference's torchvision
+``fasterrcnn_resnet50_fpn`` path (``object/coco_pipeline.py:428-438`` model
+construction + head swap; ``object/engine.py`` training) and its Swin-FPN
+assembly experiment (``object/module_surgery.py:92-126``).
+
+torchvision's implementation is dynamically shaped everywhere (ragged
+proposal lists, per-image NMS); on TPU everything here is **padded + masked**
+(SURVEY.md §7 "padded top-K everywhere"):
+
+- anchors are static per (image_size, FPN level);
+- RPN selects a fixed ``num_proposals`` via top-k → padded NMS;
+- anchor/proposal-to-gt matching and the 1:1 / 1:4 sampling use
+  score+random top-k with validity masks instead of ragged index lists;
+- RoIAlign samples a 7×7 bilinear grid from every FPN level and selects by
+  the standard level-assignment formula (static compute, no gathers on
+  dynamic shapes).
+
+The whole train step — backbone, FPN, RPN, RoI heads, both losses — is one
+jitted XLA program (unlike DETR, no host-side Hungarian step is needed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from vit_torch_tpu.detection.boxes import box_iou, nms_padded
+from vit_torch_tpu.models.layers import Dtype
+
+
+# --------------------------------------------------------------------------
+# anchors + box coding
+# --------------------------------------------------------------------------
+
+def generate_anchors(image_size: int, strides: Tuple[int, ...],
+                     sizes: Tuple[float, ...],
+                     ratios: Tuple[float, ...] = (0.5, 1.0, 2.0),
+                     ) -> np.ndarray:
+    """Static (N_total, 4) xyxy anchor grid over all FPN levels
+    (torchvision AnchorGenerator semantics: one size per level × 3 ratios)."""
+    all_anchors = []
+    for stride, size in zip(strides, sizes):
+        g = image_size // stride
+        cy = (np.arange(g) + 0.5) * stride
+        cx = (np.arange(g) + 0.5) * stride
+        cyy, cxx = np.meshgrid(cy, cx, indexing="ij")
+        for ratio in ratios:
+            h = size * math.sqrt(ratio)
+            w = size / math.sqrt(ratio)
+            all_anchors.append(np.stack([
+                cxx - w / 2, cyy - h / 2, cxx + w / 2, cyy + h / 2,
+            ], axis=-1).reshape(-1, 4))
+    return np.concatenate(all_anchors).astype(np.float32)
+
+
+def encode_boxes(boxes: jnp.ndarray, anchors: jnp.ndarray) -> jnp.ndarray:
+    """xyxy gt → (dx, dy, dw, dh) deltas w.r.t. anchors (R-CNN coding).
+    Anchor dims are clamped: padded/invalid proposal slots are degenerate
+    boxes and must not poison the (masked-out) loss terms with NaN."""
+    aw = jnp.maximum(anchors[..., 2] - anchors[..., 0], 1e-3)
+    ah = jnp.maximum(anchors[..., 3] - anchors[..., 1], 1e-3)
+    ax = anchors[..., 0] + aw / 2
+    ay = anchors[..., 1] + ah / 2
+    bw = jnp.maximum(boxes[..., 2] - boxes[..., 0], 1e-3)
+    bh = jnp.maximum(boxes[..., 3] - boxes[..., 1], 1e-3)
+    bx = boxes[..., 0] + bw / 2
+    by = boxes[..., 1] + bh / 2
+    return jnp.stack([(bx - ax) / aw, (by - ay) / ah,
+                      jnp.log(bw / aw), jnp.log(bh / ah)], axis=-1)
+
+
+def decode_boxes(deltas: jnp.ndarray, anchors: jnp.ndarray,
+                 clip: Optional[float] = None) -> jnp.ndarray:
+    aw = jnp.maximum(anchors[..., 2] - anchors[..., 0], 1e-3)
+    ah = jnp.maximum(anchors[..., 3] - anchors[..., 1], 1e-3)
+    ax = anchors[..., 0] + aw / 2
+    ay = anchors[..., 1] + ah / 2
+    dx, dy, dw, dh = (deltas[..., i] for i in range(4))
+    dw = jnp.clip(dw, -4.0, 4.0)
+    dh = jnp.clip(dh, -4.0, 4.0)
+    cx = ax + dx * aw
+    cy = ay + dy * ah
+    w = aw * jnp.exp(dw)
+    h = ah * jnp.exp(dh)
+    boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                      axis=-1)
+    if clip is not None:
+        boxes = jnp.clip(boxes, 0.0, clip)
+    return boxes
+
+
+def smooth_l1(x: jnp.ndarray, beta: float = 1.0 / 9) -> jnp.ndarray:
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * ax ** 2 / beta, ax - 0.5 * beta)
+
+
+# --------------------------------------------------------------------------
+# matching + fixed-size sampling
+# --------------------------------------------------------------------------
+
+def match_to_gt(candidates: jnp.ndarray, gt_boxes: jnp.ndarray,
+                gt_mask: jnp.ndarray, hi: float, lo: float,
+                allow_low_quality: bool = False):
+    """Per-image matcher (torchvision Matcher semantics): returns
+    (matched_gt_idx, label) where label 1=positive, 0=negative, -1=ignore."""
+    iou = box_iou(candidates, gt_boxes)                     # (A, G)
+    iou = jnp.where(gt_mask[None, :] > 0, iou, -1.0)
+    best_iou = jnp.max(iou, axis=1)
+    best_gt = jnp.argmax(iou, axis=1)
+    label = jnp.where(best_iou >= hi, 1,
+                      jnp.where(best_iou < lo, 0, -1))
+    if allow_low_quality:
+        # anchors that are the argmax for some gt become positive
+        gt_best = jnp.max(iou, axis=0)                      # (G,)
+        is_best = (iou >= gt_best[None, :] - 1e-6) & (gt_mask[None, :] > 0) \
+            & (iou > 0)
+        label = jnp.where(jnp.any(is_best, axis=1), 1, label)
+    return best_gt, label
+
+
+def sample_balanced(rng: jax.Array, label: jnp.ndarray, num: int,
+                    pos_fraction: float):
+    """Fixed-size positive/negative sampling with random tie-break.
+    Returns (indices (num,), weights (num,)) — weights 0 pad invalid."""
+    n = label.shape[0]
+    noise = jax.random.uniform(rng, (n,))
+    n_pos = int(num * pos_fraction)
+    pos_score = jnp.where(label == 1, 1.0 + noise, noise - 2.0)
+    _, pos_idx = jax.lax.top_k(pos_score, n_pos)
+    pos_valid = label[pos_idx] == 1
+    n_neg = num - n_pos
+    neg_score = jnp.where(label == 0, 1.0 + noise, noise - 2.0)
+    _, neg_idx = jax.lax.top_k(neg_score, n_neg)
+    neg_valid = label[neg_idx] == 0
+    idx = jnp.concatenate([pos_idx, neg_idx])
+    weight = jnp.concatenate([pos_valid, neg_valid]).astype(jnp.float32)
+    is_pos = jnp.concatenate([pos_valid,
+                              jnp.zeros(n_neg, bool)]).astype(jnp.float32)
+    return idx, weight, is_pos
+
+
+# --------------------------------------------------------------------------
+# modules
+# --------------------------------------------------------------------------
+
+class FPN(nn.Module):
+    """Feature Pyramid Network over backbone stage maps (lateral 1×1 +
+    top-down upsample + 3×3 smoothing, torchvision layout)."""
+
+    out_channels: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray]) -> List[jnp.ndarray]:
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    name=f"lateral_{i}")(f)
+            for i, f in enumerate(feats)]
+        outs = [laterals[-1]]
+        for i in range(len(laterals) - 2, -1, -1):
+            up = jax.image.resize(outs[0], laterals[i].shape, "nearest")
+            outs.insert(0, laterals[i] + up)
+        return [nn.Conv(self.out_channels, (3, 3), padding=1,
+                        dtype=self.dtype, name=f"output_{i}")(o)
+                for i, o in enumerate(outs)]
+
+
+class RPNHead(nn.Module):
+    num_anchors: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray]):
+        conv = nn.Conv(feats[0].shape[-1], (3, 3), padding=1,
+                       dtype=self.dtype, name="conv")
+        cls = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
+                      name="cls_logits")
+        reg = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
+                      name="bbox_pred")
+        logits, deltas = [], []
+        for f in feats:
+            h = nn.relu(conv(f))
+            B = h.shape[0]
+            logits.append(cls(h).reshape(B, -1))
+            deltas.append(reg(h).reshape(B, -1, 4))
+        return jnp.concatenate(logits, 1), jnp.concatenate(deltas, 1)
+
+
+def roi_align(feats: List[jnp.ndarray], boxes: jnp.ndarray,
+              strides: Tuple[int, ...], output_size: int = 7) -> jnp.ndarray:
+    """Multi-level RoIAlign: sample a (S, S) bilinear grid from every level,
+    select per-roi by the FPN level-assignment formula (static shapes).
+
+    feats: list of (B, Hl, Wl, C); boxes: (B, R, 4) xyxy in image coords.
+    Returns (B, R, S, S, C).
+    """
+    B, R, _ = boxes.shape
+    S = output_size
+    w = jnp.maximum(boxes[..., 2] - boxes[..., 0], 1.0)
+    h = jnp.maximum(boxes[..., 3] - boxes[..., 1], 1.0)
+    # torchvision level assignment: k = floor(4 + log2(sqrt(wh)/224))
+    k = jnp.floor(4 + jnp.log2(jnp.sqrt(w * h) / 224.0 + 1e-8))
+    k = jnp.clip(k, 2, 2 + len(feats) - 1) - 2                 # (B, R)
+
+    # sample grid in image coords (align_corners-ish bin centers)
+    ys = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S          # (S,)
+    grid_y = boxes[..., 1:2] + ys[None, None, :] * h[..., None]  # (B,R,S)
+    grid_x = boxes[..., 0:1] + ys[None, None, :] * w[..., None]
+
+    def sample_level(feat, stride):
+        Hl, Wl = feat.shape[1], feat.shape[2]
+        gy = grid_y / stride - 0.5
+        gx = grid_x / stride - 0.5
+        y0 = jnp.floor(gy)
+        x0 = jnp.floor(gx)
+        fy = gy - y0
+        fx = gx - x0
+
+        def gather(yi, xi):
+            yi = jnp.clip(yi.astype(jnp.int32), 0, Hl - 1)
+            xi = jnp.clip(xi.astype(jnp.int32), 0, Wl - 1)
+            # (B, R, S) x (B, R, S) -> (B, R, S, S, C)
+            def per_image(f, yb, xb):
+                return f[yb[:, :, None], xb[:, None, :]]
+            return jax.vmap(per_image)(feat, yi, xi)
+
+        v00 = gather(y0, x0)
+        v01 = gather(y0, x0 + 1)
+        v10 = gather(y0 + 1, x0)
+        v11 = gather(y0 + 1, x0 + 1)
+        wy = fy[..., :, None, None]
+        wx = fx[..., None, :, None]
+        return ((1 - wy) * (1 - wx) * v00 + (1 - wy) * wx * v01
+                + wy * (1 - wx) * v10 + wy * wx * v11)
+
+    sampled = jnp.stack([sample_level(f, s)
+                         for f, s in zip(feats, strides)])     # (L,B,R,S,S,C)
+    onehot = jax.nn.one_hot(k.astype(jnp.int32), len(feats),
+                            axis=0)                             # (L,B,R)
+    return jnp.sum(sampled * onehot[..., None, None, None], axis=0)
+
+
+@dataclasses.dataclass(frozen=True)
+class FasterRCNNConfig:
+    num_classes: int = 91            # foreground classes (labels 1..K)
+    image_size: int = 512
+    fpn_channels: int = 256
+    strides: Tuple[int, ...] = (4, 8, 16, 32)
+    anchor_sizes: Tuple[float, ...] = (32.0, 64.0, 128.0, 256.0)
+    num_proposals: int = 256         # fixed post-NMS proposal count
+    rpn_pre_nms_topk: int = 1000
+    rpn_nms_thresh: float = 0.7
+    rpn_batch: int = 256             # sampled anchors per image
+    roi_batch: int = 128             # sampled proposals per image
+    detections: int = 100
+
+
+class FasterRCNN(nn.Module):
+    """Backbone(feature maps) → FPN → RPN → RoI heads.
+
+    ``backbone`` must return a list of stage feature maps (strides matching
+    ``config.strides``).  ``__call__`` returns the raw pieces; use
+    ``faster_rcnn_losses`` for training and ``faster_rcnn_predict`` for
+    inference.
+    """
+
+    config: FasterRCNNConfig
+    backbone: nn.Module
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, rng: Optional[jax.Array] = None,
+                 deterministic: bool = True):
+        cfg = self.config
+        feats = self.backbone(images, deterministic)
+        assert len(feats) == len(cfg.strides), \
+            f"backbone returned {len(feats)} maps for {len(cfg.strides)} strides"
+        feats = FPN(cfg.fpn_channels, dtype=self.dtype, name="fpn")(feats)
+        rpn_logits, rpn_deltas = RPNHead(dtype=self.dtype, name="rpn")(feats)
+
+        anchors = jnp.asarray(generate_anchors(
+            cfg.image_size, cfg.strides, cfg.anchor_sizes))
+
+        # proposals (stop-gradient, like torchvision)
+        prop_boxes, prop_scores = self._proposals(
+            jax.lax.stop_gradient(rpn_logits),
+            jax.lax.stop_gradient(rpn_deltas), anchors)
+
+        roi_feats = roi_align(feats, prop_boxes, cfg.strides)   # (B,R,7,7,C)
+        B, R = roi_feats.shape[:2]
+        x = roi_feats.reshape(B, R, -1)
+        x = nn.relu(nn.Dense(1024, dtype=self.dtype, name="box_fc1")(x))
+        x = nn.relu(nn.Dense(1024, dtype=self.dtype, name="box_fc2")(x))
+        cls_logits = nn.Dense(cfg.num_classes + 1, dtype=self.dtype,
+                              name="cls_score")(x)
+        box_deltas = nn.Dense(4 * (cfg.num_classes + 1), dtype=self.dtype,
+                              name="bbox_pred")(x).reshape(B, R, -1, 4)
+        return {
+            "anchors": anchors,
+            "rpn_logits": rpn_logits, "rpn_deltas": rpn_deltas,
+            "proposals": prop_boxes, "proposal_scores": prop_scores,
+            "cls_logits": cls_logits, "box_deltas": box_deltas,
+        }
+
+    def _proposals(self, logits, deltas, anchors):
+        cfg = self.config
+        boxes = decode_boxes(deltas, anchors[None], clip=float(cfg.image_size))
+
+        def per_image(logit, box):
+            k = min(cfg.rpn_pre_nms_topk, logit.shape[0])
+            score, idx = jax.lax.top_k(logit, k)
+            cand = box[idx]
+            keep, valid = nms_padded(cand, score, cfg.rpn_nms_thresh,
+                                     cfg.num_proposals)
+            out_boxes = cand[keep]
+            out_scores = jnp.where(valid, score[keep], -jnp.inf)
+            # invalid slots become unit boxes at origin (degenerate but
+            # numerically safe through RoIAlign / box coding)
+            unit = jnp.asarray([0.0, 0.0, 1.0, 1.0])
+            out_boxes = jnp.where(valid[:, None], out_boxes, unit[None])
+            return out_boxes, out_scores
+
+        return jax.vmap(per_image)(logits, boxes)
+
+
+def faster_rcnn_losses(outputs: Dict[str, jnp.ndarray],
+                       targets: Dict[str, jnp.ndarray],
+                       cfg: FasterRCNNConfig,
+                       rng: jax.Array) -> Dict[str, jnp.ndarray]:
+    """RPN + RoI-head losses (torchvision semantics: BCE+smoothL1 on 256
+    sampled anchors at 0.7/0.3 IoU; CE+smoothL1 on 128 sampled proposals at
+    0.5 with 1:3 pos:neg)."""
+    anchors = outputs["anchors"]
+    B = outputs["rpn_logits"].shape[0]
+
+    def per_image(rng, rpn_logit, rpn_delta, proposals, cls_logits,
+                  box_deltas, gt_boxes, gt_labels, gt_mask, sample_mask):
+        r1, r2 = jax.random.split(rng)
+        # ---- RPN ----
+        gt_idx, a_label = match_to_gt(anchors, gt_boxes, gt_mask,
+                                      hi=0.7, lo=0.3, allow_low_quality=True)
+        idx, weight, is_pos = sample_balanced(r1, a_label, cfg.rpn_batch, 0.5)
+        obj_target = is_pos
+        logit = rpn_logit[idx]
+        bce = optax_sigmoid_ce(logit, obj_target)
+        rpn_cls = jnp.sum(bce * weight) / jnp.maximum(jnp.sum(weight), 1.0)
+        matched = gt_boxes[gt_idx[idx]]
+        reg_t = encode_boxes(matched, anchors[idx])
+        reg = smooth_l1(rpn_delta[idx] - reg_t).sum(-1)
+        rpn_reg = jnp.sum(reg * is_pos) / jnp.maximum(jnp.sum(weight), 1.0)
+
+        # ---- RoI head ----
+        p_idx, p_label = match_to_gt(proposals, gt_boxes, gt_mask,
+                                     hi=0.5, lo=0.5)
+        sidx, sweight, spos = sample_balanced(r2, p_label, cfg.roi_batch, 0.25)
+        cls_t = jnp.where(spos > 0, gt_labels[p_idx[sidx]], 0)
+        logp = jax.nn.log_softmax(cls_logits[sidx].astype(jnp.float32), -1)
+        ce = -jnp.take_along_axis(logp, cls_t[:, None], 1)[:, 0]
+        roi_cls = jnp.sum(ce * sweight) / jnp.maximum(jnp.sum(sweight), 1.0)
+        matched_p = gt_boxes[p_idx[sidx]]
+        reg_t = encode_boxes(matched_p, proposals[sidx])
+        # per-class deltas: pick the target class channel
+        d = jnp.take_along_axis(
+            box_deltas[sidx], cls_t[:, None, None].repeat(4, -1), 1)[:, 0]
+        reg = smooth_l1(d - reg_t).sum(-1)
+        roi_reg = jnp.sum(reg * spos) / jnp.maximum(jnp.sum(spos), 1.0)
+        return jax.tree.map(lambda x: x * sample_mask,
+                            (rpn_cls, rpn_reg, roi_cls, roi_reg))
+
+    rngs = jax.random.split(rng, B)
+    losses = jax.vmap(per_image)(
+        rngs, outputs["rpn_logits"], outputs["rpn_deltas"],
+        outputs["proposals"], outputs["cls_logits"], outputs["box_deltas"],
+        targets["boxes"], targets["labels"], targets["box_mask"],
+        targets["mask"])
+    n = jnp.maximum(jnp.sum(targets["mask"]), 1.0)
+    names = ("loss_rpn_cls", "loss_rpn_reg", "loss_cls", "loss_reg")
+    out = {k: jnp.sum(v) / n for k, v in zip(names, losses)}
+    out["loss"] = sum(out.values())
+    return out
+
+
+def optax_sigmoid_ce(logits, labels):
+    """Numerically stable sigmoid cross-entropy."""
+    return jnp.maximum(logits, 0) - logits * labels + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def faster_rcnn_predict(outputs: Dict[str, jnp.ndarray],
+                        cfg: FasterRCNNConfig,
+                        scale: jnp.ndarray, pad: jnp.ndarray,
+                        score_thresh: float = 0.05):
+    """Decode, per-class NMS (padded), top detections, unletterbox."""
+    prob = jax.nn.softmax(outputs["cls_logits"].astype(jnp.float32), -1)
+    scores_fg = prob[..., 1:]                              # (B, R, K)
+    labels = jnp.argmax(scores_fg, -1) + 1                 # (B, R)
+    scores = jnp.max(scores_fg, -1)
+    d = jnp.take_along_axis(
+        outputs["box_deltas"], labels[:, :, None, None].repeat(4, -1),
+        2)[:, :, 0]
+    boxes = decode_boxes(d, outputs["proposals"], clip=float(cfg.image_size))
+
+    def per_image(box, score, label):
+        score = jnp.where(score >= score_thresh, score, -jnp.inf)
+        # class-aware NMS via coordinate offset trick
+        offset = label.astype(jnp.float32)[:, None] * (cfg.image_size * 2.0)
+        keep, valid = nms_padded(box + offset, score, 0.5, cfg.detections)
+        return (box[keep], jnp.where(valid, score[keep], 0.0),
+                jnp.where(valid, label[keep], 0))
+
+    boxes, scores, labels = jax.vmap(per_image)(boxes, scores, labels)
+    pad_xy = jnp.concatenate([pad, pad], -1)[:, None, :]
+    boxes = (boxes - pad_xy) / scale[:, None, None]
+    return {"boxes": boxes, "scores": scores, "labels": labels}

@@ -74,11 +74,17 @@ class Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    """Bottleneck ResNet returning pooled (B, 2048) features."""
+    """Bottleneck ResNet.
+
+    Default: pooled (B, 2048) features.  ``features_only=True`` returns the
+    per-stage feature maps [C2, C3, C4, C5] (strides 4/8/16/32) — the FPN
+    input for the FasterRCNN head (the reference's
+    ``fasterrcnn_resnet50_fpn`` backbone mode)."""
 
     config: ResNetConfig
     dtype: Dtype = jnp.bfloat16
     remat: bool = False
+    features_only: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -92,6 +98,7 @@ class ResNet(nn.Module):
         block_cls = Bottleneck
         if self.remat:
             block_cls = nn.remat(Bottleneck, static_argnums=(2,))
+        stages = []
         for li, n_blocks in enumerate(cfg.layers):
             planes = 64 * 2 ** li
             for bi in range(n_blocks):
@@ -101,6 +108,9 @@ class ResNet(nn.Module):
                               base_width=cfg.width_per_group,
                               downsample=downsample, dtype=self.dtype,
                               name=f"layer{li + 1}_{bi}")(x, deterministic)
+            stages.append(x)
+        if self.features_only:
+            return stages
         return jnp.mean(x, axis=(1, 2))  # global average pool
 
     @property
