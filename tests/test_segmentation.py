@@ -1,0 +1,109 @@
+"""Tests for the DETR segmentation head."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_torch_tpu.detection.detr import DETRConfig
+from vit_torch_tpu.detection.segmentation import (
+    DETRSegm, MHAttentionMap, dice_loss, mask_losses, postprocess_segm,
+    sigmoid_focal_loss,
+)
+from vit_torch_tpu.models.swin import SWIN_CONFIGS, SwinConfig, SwinTransformer
+
+
+def test_dice_loss_extremes():
+    perfect = jnp.full((1, 4, 4), 20.0)       # sigmoid ~1
+    target = jnp.ones((1, 4, 4))
+    valid = jnp.ones(1)
+    assert float(dice_loss(perfect, target, valid)) < 0.01
+    wrong = jnp.full((1, 4, 4), -20.0)
+    assert float(dice_loss(wrong, target, valid)) > 0.9
+    # invalid entries contribute nothing
+    assert float(dice_loss(wrong, target, jnp.zeros(1))) == 0.0
+
+
+def test_focal_loss_downweights_easy():
+    target = jnp.ones((1, 4, 4))
+    valid = jnp.ones(1)
+    easy = float(sigmoid_focal_loss(jnp.full((1, 4, 4), 5.0), target, valid))
+    hard = float(sigmoid_focal_loss(jnp.full((1, 4, 4), -5.0), target, valid))
+    assert easy < hard / 100
+
+
+def test_mha_attention_map_shapes():
+    m = MHAttentionMap(hidden_dim=32, num_heads=4, dtype=jnp.float32)
+    q = jnp.zeros((2, 5, 32))
+    mem = jnp.zeros((2, 8, 8, 32))
+    variables = m.init(jax.random.PRNGKey(0), q, mem)
+    out = m.apply(variables, q, mem)
+    assert out.shape == (2, 5, 4, 8, 8)
+    # softmax over space
+    np.testing.assert_allclose(np.asarray(out.sum(axis=(-1, -2))), 1.0,
+                               atol=1e-5)
+
+
+def _segm_model():
+    cfg = SwinConfig(embed_dim=16, depths=(1, 1, 1), num_heads=(2, 2, 4),
+                     window_size=4, drop_path_rate=0.0)
+    backbone = SwinTransformer(cfg, dtype=jnp.float32, multi_features=True,
+                               name="backbone")
+    dcfg = DETRConfig(num_classes=3, num_queries=6, hidden_dim=32,
+                      enc_layers=1, dec_layers=1, ffn_dim=64)
+    return DETRSegm(dcfg, backbone, num_mask_heads=4, dtype=jnp.float32)
+
+
+def test_detr_segm_forward():
+    model = _segm_model()
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, True)
+    out = model.apply(variables, x, True)
+    assert out["pred_logits"].shape == (2, 6, 4)
+    assert out["pred_boxes"].shape == (2, 6, 4)
+    # mask head upsamples through 2 FPN laterals: stride 16 -> 4
+    assert out["pred_masks"].shape == (2, 6, 8, 8)
+    # detection params are a subset layout-compatible with plain DETR
+    assert "encoder_0" in variables["params"]
+    assert "mask_head" in variables["params"]
+    assert "bbox_attention" in variables["params"]
+
+
+def test_mask_losses_matched_only():
+    rng = np.random.default_rng(0)
+    pred = jnp.asarray(rng.normal(0, 1, (2, 4, 8, 8)), jnp.float32)
+    gt = jnp.asarray(rng.integers(0, 2, (2, 3, 16, 16)), jnp.float32)
+    assign = jnp.asarray([[0, -1, 2, -1], [-1, -1, -1, -1]])
+    out = mask_losses(pred, gt, assign, jnp.ones((2, 3)), jnp.ones(2))
+    assert np.isfinite(float(out["loss_mask"]))
+    assert np.isfinite(float(out["loss_dice"]))
+    # nothing matched in image 2 -> identical result if its preds change
+    pred2 = pred.at[1].set(99.0)
+    out2 = mask_losses(pred2, gt, assign, jnp.ones((2, 3)), jnp.ones(2))
+    np.testing.assert_allclose(float(out["loss_mask"]),
+                               float(out2["loss_mask"]), rtol=1e-6)
+
+
+def test_postprocess_segm():
+    masks = jnp.zeros((1, 2, 4, 4)).at[0, 0, :2].set(10.0)
+    out = postprocess_segm(masks, image_size=16)
+    assert out.shape == (1, 2, 16, 16)
+    assert bool(out[0, 0, 0, 0]) and not bool(out[0, 1, 8, 8])
+
+
+def test_dataset_loads_masks(tmp_path):
+    from vit_torch_tpu.detection.coco_data import (
+        CocoDetectionDataset, make_synthetic_coco)
+    img_dir, ann_file = make_synthetic_coco(str(tmp_path), n_images=2, size=32)
+    ds = CocoDetectionDataset(img_dir, ann_file, image_size=32, max_boxes=8,
+                              load_masks=True)
+    s = ds[0]
+    assert s["gt_masks"].shape == (8, 32, 32)
+    n_valid = int(s["box_mask"].sum())
+    for i in range(n_valid):
+        x0, y0, x1, y1 = s["boxes"][i].astype(int)
+        assert s["gt_masks"][i].sum() > 0
+        # mask lives inside (slightly dilated) box
+        ys, xs = np.nonzero(s["gt_masks"][i])
+        assert xs.min() >= x0 - 1 and xs.max() <= x1 + 1
+        assert ys.min() >= y0 - 1 and ys.max() <= y1 + 1

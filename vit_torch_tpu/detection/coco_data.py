@@ -44,10 +44,11 @@ class CocoDetectionDataset:
                  max_boxes: int = 64, limit: int = 0,
                  category_ids: Optional[Sequence[int]] = None,
                  keep_empty: bool = False, seed: int = 0,
-                 shuffle: bool = False) -> None:
+                 shuffle: bool = False, load_masks: bool = False) -> None:
         self.images_dir = images_dir
         self.image_size = image_size
         self.max_boxes = max_boxes
+        self.load_masks = load_masks
         self.coco = COCO(ann_file)
         ids = self.coco.get_img_ids()
         if category_ids:
@@ -75,6 +76,24 @@ class CocoDetectionDataset:
     def __len__(self) -> int:
         return len(self.ids)
 
+    @staticmethod
+    def _rasterize(segm, scale, pad_x, pad_y, size) -> np.ndarray:
+        """Rasterize a polygon/RLE segmentation into letterbox coords."""
+        from PIL import Image, ImageDraw
+        from vit_torch_tpu.detection import _mask
+        if isinstance(segm, dict):                     # RLE at original size
+            m = _mask.decode(segm)
+            img = Image.fromarray(m * 255).resize((size, size), Image.NEAREST)
+            return (np.asarray(img) > 0).astype(np.uint8)
+        img = Image.new("L", (size, size), 0)
+        draw = ImageDraw.Draw(img)
+        for poly in segm:
+            pts = [(poly[i] * scale + pad_x, poly[i + 1] * scale + pad_y)
+                   for i in range(0, len(poly) - 1, 2)]
+            if len(pts) >= 3:
+                draw.polygon(pts, outline=1, fill=1)
+        return np.asarray(img, np.uint8)
+
     def _load_image(self, info: dict) -> np.ndarray:
         from PIL import Image
         fname = info.get("file_name")
@@ -97,6 +116,8 @@ class CocoDetectionDataset:
         boxes = np.zeros((self.max_boxes, 4), np.float32)
         labels = np.zeros((self.max_boxes,), np.int32)
         box_mask = np.zeros((self.max_boxes,), np.float32)
+        masks = (np.zeros((self.max_boxes, S, S), np.uint8)
+                 if self.load_masks else None)
         anns = [a for a in self.coco.img_to_anns.get(img_id, [])
                 if not a.get("iscrowd", 0)][:self.max_boxes]
         for i, ann in enumerate(anns):
@@ -105,7 +126,12 @@ class CocoDetectionDataset:
                         (x + bw) * scale + pad_x, (y + bh) * scale + pad_y]
             labels[i] = self.cat_to_label.get(ann["category_id"], 0)
             box_mask[i] = 1.0
+            if masks is not None and "segmentation" in ann:
+                masks[i] = self._rasterize(ann["segmentation"], scale,
+                                           pad_x, pad_y, S)
+        extra = {"gt_masks": masks} if masks is not None else {}
         return {
+            **extra,
             "image": canvas,
             "boxes": np.clip(boxes, 0, S),
             "labels": labels,
@@ -181,6 +207,9 @@ def make_synthetic_coco(tmp_dir: str, n_images: int = 8, size: int = 64,
             annotations.append({
                 "id": ann_id, "image_id": i + 1, "category_id": cls + 1,
                 "bbox": [float(x), float(y), float(bw), float(bh)],
+                "segmentation": [[float(x), float(y), float(x + bw), float(y),
+                                  float(x + bw), float(y + bh),
+                                  float(x), float(y + bh)]],
                 "area": float(bw * bh), "iscrowd": 0,
             })
             ann_id += 1

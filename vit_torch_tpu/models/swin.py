@@ -254,6 +254,7 @@ class SwinTransformer(nn.Module):
     config: SwinConfig
     dtype: Dtype = jnp.bfloat16
     features_only: bool = False
+    multi_features: bool = False   # return per-stage maps (FPN/segm input)
     remat: bool = False
 
     @nn.compact
@@ -285,6 +286,7 @@ class SwinTransformer(nn.Module):
         block_cls = SwinBlock
         if self.remat:
             block_cls = nn.remat(SwinBlock, static_argnums=(2,))
+        stages = []
         for li, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
             for bi in range(depth):
                 dpr = cfg.drop_path_rate * block_idx / max(total_depth - 1, 1)
@@ -295,10 +297,13 @@ class SwinTransformer(nn.Module):
                     mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
                     drop_path_rate=dpr, dtype=self.dtype,
                     name=f"layers_{li}_blocks_{bi}")(x, deterministic)
+            stages.append(x)
             if li < len(cfg.depths) - 1:
                 x = PatchMerging(dtype=self.dtype,
                                  name=f"layers_{li}_downsample")(x)
         x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        if self.multi_features:
+            return stages[:-1] + [x]   # per-stage maps, last one normed
         if self.features_only:
             return x                                  # (B, H', W', C_final)
         return jnp.mean(x, axis=(1, 2))               # avgpool over tokens
