@@ -34,6 +34,8 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--head", default="detr", choices=["detr", "faster_rcnn"],
                    help="detection head: DETR set-prediction (object_detr/) "
                         "or FasterRCNN two-stage (object/)")
+    p.add_argument("--masks", action="store_true",
+                   help="train the DETR instance-mask head (DETRsegm)")
     p.add_argument("--image_size", default=512, type=int)
     p.add_argument("--bs", default=8, type=int)
     p.add_argument("--epochs", default=10, type=int)
@@ -82,7 +84,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         args.max_boxes = 8
         args.enc_layers, args.dec_layers = 1, 1
         args.hidden_dim, args.num_queries = 64, 8
-        args.backbone = "swin_test"
+        args.backbone = "swin_test3" if args.masks else "swin_test"
     else:
         assert args.data_root, "--data_root required (or --test)"
         train_dirs = (os.path.join(args.data_root, "train", "data"),
@@ -93,7 +95,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     cats = args.labels or None
     train_ds = CocoDetectionDataset(*train_dirs, image_size=args.image_size,
                                     max_boxes=args.max_boxes,
-                                    limit=args.limit_train, category_ids=cats)
+                                    limit=args.limit_train, category_ids=cats,
+                                    load_masks=args.masks)
     val_ds = CocoDetectionDataset(*val_dirs, image_size=args.image_size,
                                   max_boxes=args.max_boxes,
                                   limit=args.limit_test, category_ids=cats)
@@ -136,11 +139,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         trainer.model_state = {k: v for k, v in variables.items()
                                if k != "params"}
     else:
-        if args.backbone in SWIN_CONFIGS:
-            backbone = SwinTransformer(SWIN_CONFIGS[args.backbone],
-                                       dtype=dtype, features_only=True,
-                                       name="backbone")
-        else:
+        if args.backbone not in SWIN_CONFIGS:
             raise ValueError(
                 f"unsupported DETR backbone {args.backbone!r} (use a swin "
                 f"config, or --head faster_rcnn for resnets)")
@@ -149,11 +148,21 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                          hidden_dim=args.hidden_dim,
                          enc_layers=args.enc_layers,
                          dec_layers=args.dec_layers)
-        model = DETR(cfg, backbone, dtype=dtype)
+        if args.masks:
+            from vit_torch_tpu.detection.segmentation import DETRSegm
+            backbone = SwinTransformer(SWIN_CONFIGS[args.backbone],
+                                       dtype=dtype, multi_features=True,
+                                       name="backbone")
+            model = DETRSegm(cfg, backbone, dtype=dtype)
+        else:
+            backbone = SwinTransformer(SWIN_CONFIGS[args.backbone],
+                                       dtype=dtype, features_only=True,
+                                       name="backbone")
+            model = DETR(cfg, backbone, dtype=dtype)
         params = model.init(jax.random.PRNGKey(0), dummy, True)["params"]
         trainer = DetectionTrainer(model, params, image_size=args.image_size,
                                    num_classes=train_ds.num_classes,
-                                   lr=args.lr,
+                                   lr=args.lr, masks=args.masks,
                                    weight_decay=args.weight_decay)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"model: {n_params / 1e6:.1f}M params ({args.head})")

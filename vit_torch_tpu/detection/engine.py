@@ -45,10 +45,12 @@ class DetectionTrainer:
     def __init__(self, model, params, *, image_size: int, num_classes: int,
                  lr: float = 1e-4, weight_decay: float = 1e-4,
                  warmup_steps: int = 0, grad_clip: float = 0.1,
+                 masks: bool = False,
                  norm_values: Optional[dict] = None) -> None:
         self.model = model
         self.image_size = image_size
         self.num_classes = num_classes
+        self.masks = masks
         self.norm = norm_values or NORM_VALUES["imagenet"]
         self.tx = optax.chain(
             optax.clip_by_global_norm(grad_clip),
@@ -95,6 +97,15 @@ class DetectionTrainer:
                     total = total + l["loss"]
                     if li == len(layers) - 1:
                         logs = l
+                if self.masks and "pred_masks" in outputs:
+                    from vit_torch_tpu.detection.segmentation import (
+                        mask_losses)
+                    ml = mask_losses(outputs["pred_masks"],
+                                     jnp.asarray(batch["gt_masks"]),
+                                     assign[-1], targets["box_mask"],
+                                     targets["mask"])
+                    total = total + ml["loss_mask"] + ml["loss_dice"]
+                    logs = {**logs, **ml}
                 return total, logs
 
             (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(

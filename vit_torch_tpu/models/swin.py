@@ -77,9 +77,11 @@ SWIN_CONFIGS = {
     "swin_large_patch4_window12_384": _cfg(embed_dim=192, depths=(2, 2, 18, 2),
                                            num_heads=(6, 12, 24, 48),
                                            window_size=12),
-    # tiny smoke config (not a reference arch)
+    # tiny smoke configs (not reference archs)
     "swin_test": _cfg(embed_dim=16, depths=(1, 1), num_heads=(2, 4),
                       window_size=4, drop_path_rate=0.0),
+    "swin_test3": _cfg(embed_dim=16, depths=(1, 1, 1), num_heads=(2, 2, 4),
+                       window_size=4, drop_path_rate=0.0),
 }
 for _name in list(SWIN_CONFIGS):
     if _name.endswith(("_224", "_384")):
