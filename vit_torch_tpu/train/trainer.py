@@ -121,8 +121,9 @@ class Trainer:
                 latest_step, restore_checkpoint)
             self.state = restore_checkpoint(resume, self.state)
             # resume at the epoch after the last completed one; the epoch
-            # index is stored as the checkpoint step
-            self.start_epoch = (latest_step(resume) or -1) + 1
+            # index is stored as the checkpoint step (note: step 0 is valid)
+            last = latest_step(resume)
+            self.start_epoch = (last if last is not None else -1) + 1
             if self.print_progress:
                 print(f"resumed from {resume} at epoch {self.start_epoch}")
 
