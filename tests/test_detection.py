@@ -213,3 +213,27 @@ def test_coco_smoke_end_to_end(tmp_path):
     assert len(d["logs"]) == 1
     assert "ap" in d["logs"][0]["val"]["bbox"]
     assert np.isfinite(d["logs"][0]["train"]["loss_total"])
+
+
+def test_coco_evaluator_segm():
+    """segm iou type end-to-end: perfect rectangular masks → segm AP 1."""
+    gt = COCO(dataset={
+        "images": [{"id": 1, "height": 32, "width": 32}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1,
+             "bbox": [4, 4, 10, 10], "area": 100, "iscrowd": 0,
+             "segmentation": [[4, 4, 14, 4, 14, 14, 4, 14]]},
+        ],
+        "categories": [{"id": 1, "name": "a"}],
+    })
+    evaluator = CocoEvaluator(gt, ["bbox", "segm"])
+    mask = np.zeros((1, 32, 32), np.uint8)
+    mask[0, 4:15, 4:15] = 1   # PIL polygon rasterization includes boundary
+    evaluator.update({1: {"boxes": np.asarray([[4, 4, 14, 14]]),
+                          "scores": np.asarray([0.9]),
+                          "labels": np.asarray([1]),
+                          "masks": mask}})
+    evaluator.accumulate()
+    out = evaluator.summarize()
+    assert out["bbox"]["ap"] > 0.99
+    assert out["segm"]["ap"] > 0.99

@@ -285,21 +285,27 @@ class CocoEvaluator:
         self.coco_eval: Dict[str, COCOeval] = {}
 
     def update(self, predictions: Dict[int, dict]) -> None:
-        """predictions: {image_id: {'boxes' xyxy, 'scores', 'labels'}}"""
+        """predictions: {image_id: {'boxes' xyxy, 'scores', 'labels'
+        [, 'masks' (N, H, W) binary]}}"""
         for img_id, pred in predictions.items():
             boxes = np.asarray(pred["boxes"], np.float64).reshape(-1, 4)
             scores = np.asarray(pred["scores"], np.float64).reshape(-1)
             labels = np.asarray(pred["labels"], np.int64).reshape(-1)
+            masks = pred.get("masks")
             # xyxy -> xywh (reference object/coco_eval.py:158-160)
             xywh = boxes.copy()
             xywh[:, 2:] -= xywh[:, :2]
-            for box, score, label in zip(xywh, scores, labels):
-                self.results.append({
+            for i, (box, score, label) in enumerate(zip(xywh, scores, labels)):
+                result = {
                     "image_id": int(img_id),
                     "category_id": int(label),
                     "bbox": [float(v) for v in box],
                     "score": float(score),
-                })
+                }
+                if masks is not None:
+                    result["segmentation"] = _mask.encode(
+                        np.asarray(masks[i], np.uint8))
+                self.results.append(result)
 
     def synchronize_between_processes(self) -> None:
         """Multi-host merge: all-gather result lists across jax processes
