@@ -108,3 +108,33 @@ def test_dp_and_single_device_agree():
     losses_dp, _ = _run_sharded("data=8")
     losses_1, _ = _run_sharded("data=1", n_devices=1)
     np.testing.assert_allclose(losses_dp, losses_1, rtol=2e-4)
+
+
+def test_tensor_parallel_cait_backbone():
+    """TP rules cover CaiT's separate q/k/v class-attention projections."""
+    mesh = make_mesh("data=2,model=4")
+    zm = VisionModelZoo.get_model("cait_test", classifier=[8], image_size=16,
+                                  dtype=jnp.float32)
+    variables = zm.init(jax.random.PRNGKey(0), image_size=16)
+    tx = get_optimizer("sgd", lr=0.05)
+    state = create_train_state(jax.random.PRNGKey(1), variables["params"], tx)
+    train_step, eval_step, state = shard_train_fns(
+        zm.model.apply, tx, state, mesh)
+    rng = np.random.default_rng(0)
+    batch = shard_batch({
+        "image": rng.normal(0, 1, (8, 16, 16, 3)).astype(np.float32),
+        "label": rng.integers(0, 8, 8).astype(np.int32),
+        "mask": np.ones(8, np.float32)}, mesh)
+    state, m = train_step(state, batch)
+    assert np.isfinite(float(m["loss_sum"]))
+
+
+def test_n_channel_model():
+    """N-channel input (tire LBP stacks) flows through the zoo + trainer."""
+    zm = VisionModelZoo.get_model("vit_tiny_test", classifier=[4],
+                                  image_size=16, image_channels=5,
+                                  dtype=jnp.float32)
+    variables = zm.init(jax.random.PRNGKey(0), image_size=16,
+                        image_channels=5)
+    out = zm.apply(variables, jnp.ones((2, 16, 16, 5)))
+    assert out.shape == (2, 4)

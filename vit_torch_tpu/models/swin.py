@@ -156,24 +156,28 @@ class WindowAttention(nn.Module):
         Bn, N, C = x.shape
         w, H = self.window_size, self.num_heads
         head_dim = C // H
+        scale = head_dim ** -0.5
         table = self.param("relative_position_bias_table", trunc_normal_init,
                            ((2 * w - 1) ** 2, H), jnp.float32)
         idx = relative_position_index(w).reshape(-1)
         bias = table[idx].reshape(N, N, H).transpose(2, 0, 1)   # (H, N, N)
-        bias = bias[None].astype(jnp.float32)                   # (1, H, N, N)
-        if mask is not None:
-            # mask: (nW, N, N); expand over batch and heads
-            nW = mask.shape[0]
-            bias = bias.reshape(1, 1, H, N, N) + mask.reshape(1, nW, 1, N, N)
-            bias = bias.reshape(-1, H, N, N)
-            bias = jnp.broadcast_to(bias[None], (Bn // nW, nW, H, N, N)
-                                    ).reshape(Bn, H, N, N)
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=trunc_normal_init, name="qkv")(x)
         qkv = qkv.reshape(Bn, N, 3, H, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = dot_product_attention(q, k, v, scale=head_dim ** -0.5, bias=bias)
-        out = out.reshape(Bn, N, C)
+        # logits in fp32; bias/mask stay rank-deficient so XLA fuses the
+        # broadcasts into the softmax instead of materializing a
+        # (B·nW, H, N, N) bias tensor
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        logits = logits + bias[None]
+        if mask is not None:
+            nW = mask.shape[0]
+            logits = logits.reshape(Bn // nW, nW, H, N, N) \
+                + mask[None, :, None].astype(jnp.float32)
+            logits = logits.reshape(Bn, H, N, N)
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(Bn, N, C)
         return nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_init,
                         name="proj")(out)
 
