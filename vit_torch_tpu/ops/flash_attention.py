@@ -103,6 +103,30 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, *,
         ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
 
 
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                      *, scale: float, kv_len: int):
+    """Single-block backward (block_q == padded seq): computes P once and
+    emits dq/dk/dv in one pass — 6 matmuls + 1 softmax instead of the 9 + 2
+    of the split dq/dkv kernels."""
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    p = _recompute_p(q, k, scale, kv_len)                       # (N, N)
+    dv_ref[0, 0] = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    di = jnp.sum(p * dp, axis=1, keepdims=True)
+    ds = p * (dp - di) * scale
+    dq_ref[0, 0] = jax.lax.dot(
+        ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0, 0] = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, dk_ref, dv_ref,
                     dk_acc, dv_acc, *, scale: float, kv_len: int):
     q_idx, n_q = pl.program_id(2), pl.num_programs(2)
@@ -173,6 +197,23 @@ def _bwd_impl(q, k, v, do, scale, block_q):
     n_pad = _round_up(N, block_q)
     qp, kp, vp = _pad_seq(q, n_pad), _pad_seq(k, n_pad), _pad_seq(v, n_pad)
     dop = _pad_seq(do, n_pad)
+
+    if block_q == n_pad:
+        # single q-block: fused one-pass backward
+        spec = pl.BlockSpec((1, 1, n_pad, D), lambda b, h: (b, h, 0, 0))
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, scale=scale, kv_len=N),
+            out_shape=tuple(jax.ShapeDtypeStruct((B, H, n_pad, D), x.dtype)
+                            for x in (q, k, v)),
+            grid=(B, H),
+            in_specs=[spec, spec, spec, spec],
+            out_specs=(spec, spec, spec),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            interpret=_interpret(),
+        )(qp, kp, vp, dop)
+        return dq[:, :, :N], dk[:, :, :N], dv[:, :, :N]
+
     grid = (B, H, n_pad // block_q)
     q_spec = pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0))
     kv_spec = pl.BlockSpec((1, 1, n_pad, D), lambda b, h, i: (b, h, 0, 0))
