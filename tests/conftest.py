@@ -17,3 +17,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# build the native library if absent (csrc/libmaskops.so is a build artifact,
+# compiled with -march=native, so it is not checked in)
+import subprocess  # noqa: E402
+
+_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if not os.path.exists(os.path.join(_root, "csrc", "libmaskops.so")):
+    subprocess.run(["make", "-C", os.path.join(_root, "csrc")], check=False)

@@ -116,3 +116,24 @@ def test_trainer_fit_lineareval_cached(tmp_path):
     for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
         np.testing.assert_array_equal(a, b)
     assert "head" in trainer.state.params
+
+
+def test_scan_data_parallel_mesh():
+    """Scan mode over an 8-device data mesh matches single-device numerics."""
+    from vit_torch_tpu.parallel.mesh import make_mesh
+    from vit_torch_tpu.train.scan import make_scan_train_fn
+
+    def run(mesh):
+        zm, tx, state = _tiny()
+        fn = make_scan_train_fn(zm.model.apply, tx, None, mesh=mesh)
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.normal(0, 1, (32, 16, 16, 3)), jnp.float32)
+        labels = jnp.asarray(rng.integers(0, 10, 32), jnp.int32)
+        idx, msk = epoch_indices(32, 16, np.random.default_rng(1), True)
+        state, m = fn(state, images, labels, jnp.asarray(idx),
+                      jnp.asarray(msk))
+        return float(m["loss_sum"]) / float(m["count"])
+
+    loss_dp = run(make_mesh("data=8"))
+    loss_1 = run(None)
+    np.testing.assert_allclose(loss_dp, loss_1, rtol=2e-4)

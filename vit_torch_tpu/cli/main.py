@@ -101,7 +101,10 @@ def main(argv: Optional[Sequence[str]] = None) -> Stats:
                                       auto_policy=args["aug_auto"] or None),
         eval_transform=make_eval_transform(**data.norm_values, dtype=dtype),
     )
-    use_scan = (args["scan"] and len(mesh.devices.reshape(-1)) == 1
+    # scan mode handles single-chip and pure data-parallel meshes; TP/SP
+    # meshes use the per-step sharded path
+    use_scan = (args["scan"]
+                and mesh.shape["model"] == 1 and mesh.shape["seq"] == 1
                 and hasattr(data, "sets"))
     sets = ({"train": data.sets["train"], "val": data.sets["test"]}
             if hasattr(data, "sets") and "test" in data.sets else None)

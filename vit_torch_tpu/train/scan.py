@@ -33,13 +33,22 @@ from vit_torch_tpu.train.steps import (
 
 
 def make_scan_train_fn(apply_fn: Callable, tx: optax.GradientTransformation,
-                       augment_fn: Optional[Callable] = None) -> Callable:
+                       augment_fn: Optional[Callable] = None,
+                       mesh=None) -> Callable:
     """Build ``run(state, images, labels, idx, msk) -> (state, metric_sums)``.
 
     ``images``/``labels`` are the full device-resident split; ``idx``/``msk``
     are (K, B) per-chunk batch indices and validity masks.  The returned
     function is jitted with the state donated (params update in place).
+
+    With a ``mesh``, the per-step gathered batch is constrained to the
+    ``data`` axis so the whole scan runs data-parallel (the dataset stays
+    replicated in HBM — it is tiny by TPU standards; SURVEY.md §2c).
     """
+    constraint = None
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        constraint = NamedSharding(mesh, P("data"))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run(state: TrainState, images, labels, idx, msk):
@@ -47,6 +56,9 @@ def make_scan_train_fn(apply_fn: Callable, tx: optax.GradientTransformation,
             batch_idx, batch_msk = step_input
             batch_images = images[batch_idx]       # device gather
             batch_labels = labels[batch_idx]
+            if constraint is not None:
+                batch_images = jax.lax.with_sharding_constraint(
+                    batch_images, constraint)
             rng = jax.random.fold_in(state.rng, state.step)
             x = batch_images
             if augment_fn is not None:

@@ -207,7 +207,8 @@ class Trainer:
             epoch_indices, make_scan_eval_fn, make_scan_train_fn)
 
         apply_fn = self.zoo_model.model.apply
-        train_run = make_scan_train_fn(apply_fn, self.tx, self.augment_fn)
+        train_run = make_scan_train_fn(apply_fn, self.tx, self.augment_fn,
+                                       mesh=self.mesh)
         eval_run = make_scan_eval_fn(apply_fn, self.eval_transform)
         device_sets = {
             split: (jnp.asarray(imgs), jnp.asarray(labels))
