@@ -1,0 +1,43 @@
+"""End-to-end CLI smoke tests (classification)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from vit_torch_tpu.cli.main import main
+
+
+def test_cli_lineareval_scan(tmp_path):
+    fp = str(tmp_path / "stats.json")
+    main(["--device", "cpu", "--dataset", "synthetic", "--arch",
+          "vit_tiny_test", "--epoch", "2", "--bs", "16", "--image_size", "16",
+          "--lineareval", "--opt", "adamw", "--fc", "32",
+          "--earlystop_epoch", "0", "--stats_fp", fp])
+    d = json.load(open(fp))
+    assert d["telem"]["mode"] == "lineareval"
+    assert len(d["train"]) == 2 and len(d["val"]) == 2
+    assert d["telem"]["completed"] is True
+    assert np.isfinite(d["results"]["val.loss"])
+
+
+def test_cli_finetune_per_step_path(tmp_path):
+    """--scan 0 exercises the per-step sharded path."""
+    fp = str(tmp_path / "stats.json")
+    main(["--device", "cpu", "--dataset", "synthetic", "--arch",
+          "vit_tiny_test", "--epoch", "1", "--bs", "16", "--image_size", "16",
+          "--scan", "0", "--earlystop_epoch", "0", "--stats_fp", fp])
+    d = json.load(open(fp))
+    assert d["telem"]["mode"] == "finetune"
+    assert len(d["train"]) == 1
+
+
+def test_cli_dp_mesh_scan(tmp_path):
+    """Data-parallel mesh + scan mode through the CLI."""
+    fp = str(tmp_path / "stats.json")
+    main(["--device", "cpu", "--mesh", "data=8", "--dataset", "synthetic",
+          "--arch", "vit_tiny_test", "--epoch", "1", "--bs", "16",
+          "--image_size", "16", "--earlystop_epoch", "0", "--stats_fp", fp])
+    d = json.load(open(fp))
+    assert d["info"]["mesh"] == "data=8"
+    assert len(d["train"]) == 1
