@@ -135,15 +135,17 @@ class Trainer:
             self.state.opt_state.hyperparams["learning_rate"]))
         n_batches = len(loader) if hasattr(loader, "__len__") else None
         for i, batch in enumerate(loader):
+            # count real samples from the host-side mask (no device sync)
+            valid = int(batch["mask"].sum()) if isinstance(
+                batch["mask"], __import__("numpy").ndarray) else \
+                int(batch["mask"].shape[0])
             batch = self._shard_batch(batch)
             if training:
                 self.state, m = self.train_step(self.state, batch)
             else:
                 m = self.eval_step(self.state, batch)
             acc = accumulate_metrics(acc, m)
-            # progress rendering without forcing a device sync: counters only
-            bs = int(batch["mask"].shape[0])
-            S.update(sample_count=bs, lr=lr)
+            S.update(sample_count=valid, lr=lr)
             if self.print_progress:
                 S.print()
         final = finalize_metrics(acc)
