@@ -237,3 +237,26 @@ def test_coco_evaluator_segm():
     out = evaluator.summarize()
     assert out["bbox"]["ap"] > 0.99
     assert out["segm"]["ap"] > 0.99
+
+
+def test_rasterize_rle_respects_letterbox():
+    """RLE gt masks must land where the letterboxed image/boxes land
+    (regression: the RLE branch used to stretch to the full canvas)."""
+    from vit_torch_tpu.detection.coco_data import (
+        CocoDetectionDataset, letterbox_params)
+    h, w, S = 20, 40, 64                       # non-square source
+    dense = np.zeros((h, w), np.uint8)
+    dense[5:15, 10:30] = 1
+    rle = _mask.encode(dense)
+    scale, pad_x, pad_y, nh, nw = letterbox_params(h, w, S)
+    got = CocoDetectionDataset._rasterize(rle, scale, pad_x, pad_y, S)
+    assert got.shape == (S, S)
+    # polygon branch of the same rectangle is the ground truth for alignment
+    poly = [[10.0, 5, 30, 5, 30, 15, 10, 15]]
+    want = CocoDetectionDataset._rasterize(poly, scale, pad_x, pad_y, S)
+    inter = np.logical_and(got, want).sum()
+    union = np.logical_or(got, want).sum()
+    assert inter / union > 0.8
+    # nothing outside the letterboxed region
+    assert got[:pad_y].sum() == 0 and got[pad_y + nh:].sum() == 0
+    assert got[:, :pad_x].sum() == 0 and got[:, pad_x + nw:].sum() == 0

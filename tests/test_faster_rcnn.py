@@ -27,6 +27,29 @@ def test_anchor_grid_static():
     assert cx.min() >= 0 and cx.max() <= 64
 
 
+def test_anchor_layout_is_position_major():
+    """anchors[i] must pair with the RPN head's (B, H, W, A) flatten order:
+    position-major with the ratio axis innermost."""
+    ratios = (0.5, 1.0, 2.0)
+    a = generate_anchors(64, (4,), (8.0,), ratios=ratios)
+    g = 64 // 4
+    a = a.reshape(g, g, len(ratios), 4)
+    # the 3 ratio anchors at one grid position share one center
+    cx = (a[..., 0] + a[..., 2]) / 2
+    cy = (a[..., 1] + a[..., 3]) / 2
+    np.testing.assert_allclose(cx, np.broadcast_to(cx[..., :1], cx.shape),
+                               atol=1e-5)
+    np.testing.assert_allclose(cy, np.broadcast_to(cy[..., :1], cy.shape),
+                               atol=1e-5)
+    # centers advance along x with the second axis, y with the first
+    np.testing.assert_allclose(cx[0, :, 0], (np.arange(g) + 0.5) * 4)
+    np.testing.assert_allclose(cy[:, 0, 0], (np.arange(g) + 0.5) * 4)
+    # ratio order matches the head's channel order: h/w = sqrt(r)/(1/sqrt(r))
+    w = a[0, 0, :, 2] - a[0, 0, :, 0]
+    h = a[0, 0, :, 3] - a[0, 0, :, 1]
+    np.testing.assert_allclose(h / w, np.asarray(ratios), rtol=1e-5)
+
+
 def test_box_coding_roundtrip():
     anchors = jnp.asarray([[10.0, 10, 30, 30], [0, 0, 8, 16]])
     boxes = jnp.asarray([[12.0, 8, 33, 29], [1, 2, 9, 18]])

@@ -83,8 +83,13 @@ class CocoDetectionDataset:
         from vit_torch_tpu.detection import _mask
         if isinstance(segm, dict):                     # RLE at original size
             m = _mask.decode(segm)
-            img = Image.fromarray(m * 255).resize((size, size), Image.NEAREST)
-            return (np.asarray(img) > 0).astype(np.uint8)
+            h, w = m.shape[:2]
+            nh, nw = int(round(h * scale)), int(round(w * scale))
+            img = Image.fromarray(m * 255).resize((nw, nh), Image.NEAREST)
+            canvas = np.zeros((size, size), np.uint8)
+            canvas[pad_y:pad_y + nh, pad_x:pad_x + nw] = \
+                (np.asarray(img) > 0).astype(np.uint8)
+            return canvas
         img = Image.new("L", (size, size), 0)
         draw = ImageDraw.Draw(img)
         for poly in segm:

@@ -212,6 +212,9 @@ class FasterRCNNTrainer:
         self.norm = norm_values or NORM_VALUES["imagenet"]
         self.tx = optax.chain(
             optax.clip_by_global_norm(10.0),
+            # decay added to the gradient *before* momentum = torch's
+            # coupled SGD weight decay
+            optax.add_decayed_weights(weight_decay),
             optax.inject_hyperparams(
                 lambda learning_rate: optax.sgd(learning_rate,
                                                 momentum=momentum))(
@@ -269,8 +272,9 @@ class FasterRCNNTrainer:
         self.model_state: Dict = {}
 
     def set_lr(self, lr: float) -> None:
-        inner = self.opt_state[1]
-        self.opt_state = (self.opt_state[0], inner._replace(
+        # chain = (clip, add_decayed_weights, inject_hyperparams(sgd))
+        inner = self.opt_state[2]
+        self.opt_state = (*self.opt_state[:2], inner._replace(
             hyperparams={**inner.hyperparams,
                          "learning_rate": jnp.asarray(lr, jnp.float32)}))
 

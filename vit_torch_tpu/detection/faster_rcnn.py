@@ -45,19 +45,25 @@ def generate_anchors(image_size: int, strides: Tuple[int, ...],
                      ratios: Tuple[float, ...] = (0.5, 1.0, 2.0),
                      ) -> np.ndarray:
     """Static (N_total, 4) xyxy anchor grid over all FPN levels
-    (torchvision AnchorGenerator semantics: one size per level × 3 ratios)."""
+    (torchvision AnchorGenerator semantics: one size per level × 3 ratios).
+
+    Layout is **position-major** per level — (y, x, ratio) with the ratio
+    axis innermost — matching ``RPNHead``'s reshape of its (B, H, W, A[*4])
+    conv outputs, so rpn_logits[:, i] pairs with anchors[i]."""
     all_anchors = []
     for stride, size in zip(strides, sizes):
         g = image_size // stride
         cy = (np.arange(g) + 0.5) * stride
         cx = (np.arange(g) + 0.5) * stride
         cyy, cxx = np.meshgrid(cy, cx, indexing="ij")
-        for ratio in ratios:
-            h = size * math.sqrt(ratio)
-            w = size / math.sqrt(ratio)
-            all_anchors.append(np.stack([
-                cxx - w / 2, cyy - h / 2, cxx + w / 2, cyy + h / 2,
-            ], axis=-1).reshape(-1, 4))
+        centers = np.stack([cxx, cyy, cxx, cyy],
+                           axis=-1).reshape(-1, 1, 4)      # (g*g, 1, 4)
+        base = np.stack([
+            np.array([-w / 2, -h / 2, w / 2, h / 2])
+            for ratio in ratios
+            for h, w in [(size * math.sqrt(ratio), size / math.sqrt(ratio))]
+        ])                                                  # (A, 4)
+        all_anchors.append((centers + base[None]).reshape(-1, 4))
     return np.concatenate(all_anchors).astype(np.float32)
 
 

@@ -21,6 +21,7 @@ from typing import Any, Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vit_torch_tpu.models.zoo import ZooModel
 from vit_torch_tpu.train.optimizers import get_optimizer
@@ -135,10 +136,9 @@ class Trainer:
             self.state.opt_state.hyperparams["learning_rate"]))
         n_batches = len(loader) if hasattr(loader, "__len__") else None
         for i, batch in enumerate(loader):
-            # count real samples from the host-side mask (no device sync)
-            valid = int(batch["mask"].sum()) if isinstance(
-                batch["mask"], __import__("numpy").ndarray) else \
-                int(batch["mask"].shape[0])
+            # count real samples from the mask (host-produced and tiny, so
+            # np.asarray is cheap even for device arrays)
+            valid = int(np.asarray(batch["mask"]).sum())
             batch = self._shard_batch(batch)
             if training:
                 self.state, m = self.train_step(self.state, batch)
