@@ -173,3 +173,83 @@ def test_faster_rcnn_smoke_cli(tmp_path):
     row = record["logs"][0]
     assert np.isfinite(row["train"]["loss_total"])
     assert "ap" in row["val"]["bbox"]
+
+
+def test_random_hflip_semantics():
+    from vit_torch_tpu.detection.transforms import random_hflip
+    rng = jax.random.PRNGKey(0)
+    S = 16
+    img = jnp.zeros((2, S, S, 3)).at[:, 2, 3, :].set(1.0)
+    boxes = jnp.asarray([[[3.0, 2, 5, 4]], [[3.0, 2, 5, 4]]])
+    masks = jnp.zeros((2, 1, S, S)).at[:, 0, 2, 3].set(1)
+
+    # prob=1: everything flips, together
+    fi, fb, fm = random_hflip(rng, img, boxes, S, masks, prob=1.0)
+    assert float(fi[0, 2, S - 1 - 3, 0]) == 1.0
+    np.testing.assert_allclose(np.asarray(fb[0]), [[S - 5, 2, S - 3, 4]])
+    assert int(fm[0, 0, 2, S - 1 - 3]) == 1
+    # flipped box still covers the flipped pixel
+    x1, y1, x2, y2 = np.asarray(fb[0, 0])
+    assert x1 <= S - 1 - 3 + 1 <= x2 and y1 <= 2 + 1 <= y2
+
+    # prob=0: identity
+    ii, ib, im = random_hflip(rng, img, boxes, S, masks, prob=0.0)
+    np.testing.assert_array_equal(np.asarray(ii), np.asarray(img))
+    np.testing.assert_array_equal(np.asarray(ib), np.asarray(boxes))
+    np.testing.assert_array_equal(np.asarray(im), np.asarray(masks))
+
+
+def test_faster_rcnn_cli_pretrained_backbone(tmp_path):
+    """--torch_ckpt wires a torchvision-layout resnet state_dict into the
+    FRCNN backbone (reference pretrained path, coco_pipeline.py:428-438)."""
+    import torch
+    from vit_torch_tpu.cli.coco import main
+
+    cfg = RESNET_CONFIGS["resnet_test"]
+    backbone = ResNet(cfg, dtype=jnp.float32, features_only=True)
+    variables = backbone.init(jax.random.PRNGKey(1),
+                              jnp.zeros((1, 64, 64, 3)), True)
+    p, s = variables["params"], variables["batch_stats"]
+
+    def conv(node):
+        return np.asarray(node["kernel"]).transpose(3, 2, 0, 1)
+
+    sd = {"conv1.weight": torch.tensor(conv(p["conv1"]))}
+    def put_bn(prefix, pn, sn):
+        sd[f"{prefix}.weight"] = torch.tensor(np.asarray(pn["scale"]))
+        sd[f"{prefix}.bias"] = torch.tensor(np.asarray(pn["bias"]))
+        sd[f"{prefix}.running_mean"] = torch.tensor(np.asarray(sn["mean"]))
+        sd[f"{prefix}.running_var"] = torch.tensor(np.asarray(sn["var"]))
+    put_bn("bn1", p["bn1"], s["bn1"])
+    for li in range(1, len(cfg.layers) + 1):
+        name = f"layer{li}_0"
+        for j in (1, 2, 3):
+            sd[f"layer{li}.0.conv{j}.weight"] = torch.tensor(
+                conv(p[name][f"conv{j}"]))
+            put_bn(f"layer{li}.0.bn{j}", p[name][f"bn{j}"], s[name][f"bn{j}"])
+        if "downsample_conv" in p[name]:
+            sd[f"layer{li}.0.downsample.0.weight"] = torch.tensor(
+                conv(p[name]["downsample_conv"]))
+            put_bn(f"layer{li}.0.downsample.1", p[name]["downsample_bn"],
+                   s[name]["downsample_bn"])
+    ckpt = tmp_path / "resnet_test.pth"
+    torch.save(sd, str(ckpt))
+
+    fp = str(tmp_path / "stats.json")
+    record = main(["--test", "--head", "faster_rcnn", "--epochs", "1",
+                   "--torch_ckpt", str(ckpt), "--no_initial_eval",
+                   "--stats_fp", fp])
+    assert record["telem"]["completed"] is True
+    assert np.isfinite(record["logs"][0]["train"]["loss_total"])
+
+
+def test_faster_rcnn_cli_swin_backbone(tmp_path):
+    """Swin multi-stage backbone reachable from the FRCNN CLI (the
+    reference's module-surgery assembly, object/module_surgery.py:92-126)."""
+    from vit_torch_tpu.cli.coco import main
+    fp = str(tmp_path / "stats.json")
+    record = main(["--test", "--head", "faster_rcnn", "--backbone",
+                   "swin_test3", "--epochs", "1", "--no_initial_eval",
+                   "--stats_fp", fp])
+    assert record["telem"]["completed"] is True
+    assert np.isfinite(record["logs"][0]["train"]["loss_total"])

@@ -107,3 +107,58 @@ def test_dataset_loads_masks(tmp_path):
         ys, xs = np.nonzero(s["gt_masks"][i])
         assert xs.min() >= x0 - 1 and xs.max() <= x1 + 1
         assert ys.min() >= y0 - 1 and ys.max() <= y1 + 1
+
+
+def test_unletterbox_masks_roundtrip():
+    from vit_torch_tpu.detection.coco_data import letterbox_params
+    from vit_torch_tpu.detection.engine import _unletterbox_masks
+    h, w, S = 20, 40, 64
+    scale, px, py, nh, nw = letterbox_params(h, w, S)
+    # a mask occupying the letterboxed copy of rows 5-15, cols 10-30
+    m = np.zeros((1, S, S), np.uint8)
+    m[0, py + int(5 * scale):py + int(15 * scale),
+      px + int(10 * scale):px + int(30 * scale)] = 1
+    out = _unletterbox_masks(m, scale, np.asarray([px, py]),
+                             np.asarray([h, w]))
+    assert out.shape == (1, h, w)
+    want = np.zeros((h, w), np.uint8)
+    want[5:15, 10:30] = 1
+    inter = np.logical_and(out[0], want).sum()
+    union = np.logical_or(out[0], want).sum()
+    assert inter / union > 0.8
+
+
+def test_masks_cli_reports_segm_and_pq(tmp_path):
+    """--test --masks must score segm AP and PQ (reference
+    object/engine.py:58-67 + object_detr/datasets/panoptic_eval.py)."""
+    from vit_torch_tpu.cli.coco import main
+    fp = str(tmp_path / "stats.json")
+    record = main(["--test", "--masks", "--epochs", "1",
+                   "--no_initial_eval", "--stats_fp", fp])
+    val = record["logs"][0]["val"]
+    assert "segm" in val and "ap" in val["segm"]
+    assert "panoptic" in val
+    for k in ("pq", "sq", "rq"):
+        assert np.isfinite(val["panoptic"][k])
+
+
+def test_pq_update_perfect_prediction():
+    from vit_torch_tpu.detection.coco_eval import COCO
+    from vit_torch_tpu.detection.engine import _pq_update
+    from vit_torch_tpu.detection.panoptic_eval import PQStat
+    gt = COCO(dataset={
+        "images": [{"id": 1, "height": 32, "width": 32}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1,
+             "bbox": [4, 4, 10, 10], "area": 100, "iscrowd": 0,
+             "segmentation": [[4, 4, 14, 4, 14, 14, 4, 14]]},
+        ],
+        "categories": [{"id": 1, "name": "a"}],
+    })
+    masks = np.zeros((1, 32, 32), np.uint8)
+    masks[0, 4:15, 4:15] = 1
+    pq = PQStat()
+    _pq_update(pq, gt, 1, {"masks": masks, "labels": np.asarray([1]),
+                           "scores": np.asarray([0.9])})
+    out = pq.summarize()
+    assert out["pq"] > 0.9 and out["rq"] == 1.0

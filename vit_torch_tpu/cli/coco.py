@@ -40,7 +40,23 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--bs", default=8, type=int)
     p.add_argument("--epochs", default=10, type=int)
     p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--lr_step", default=8, type=int,
+                   help="StepLR period in epochs (reference "
+                        "object/coco_pipeline.py:464-476)")
+    p.add_argument("--lr_gamma", default=0.1, type=float,
+                   help="StepLR decay factor")
     p.add_argument("--weight_decay", default=1e-4, type=float)
+    p.add_argument("--torch_ckpt", default="", type=str,
+                   help="local torch state_dict for the backbone (the "
+                        "reference trains detection from *pretrained* "
+                        "backbones: object/coco_pipeline.py:428-438, "
+                        "object_detr/models/detr.py:41-43)")
+    p.add_argument("--no_hflip", action="store_true",
+                   help="disable train-time random horizontal flip "
+                        "(reference object/transforms.py:7-31)")
+    p.add_argument("--no_initial_eval", action="store_true",
+                   help="skip the epoch-0 validation pass (reference "
+                        "object/coco_pipeline.py:518-528)")
     p.add_argument("--num_queries", default=100, type=int)
     p.add_argument("--enc_layers", default=6, type=int)
     p.add_argument("--dec_layers", default=6, type=int)
@@ -59,6 +75,26 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="smoke mode: tiny synthetic dataset, 2 epochs "
                         "(reference object/coco_pipeline.py:75-82)")
     return p
+
+
+def _load_pretrained_backbone(torch_ckpt: str, family: str, params: dict,
+                              model_state: dict):
+    """Replace the detection model's backbone subtree from a local torch
+    state_dict (the reference's pretrained-backbone path; importer layouts in
+    ``checkpoint/torch_import.py``)."""
+    from vit_torch_tpu.checkpoint.torch_import import (
+        import_backbone, load_torch_state_dict)
+    sd = load_torch_state_dict(torch_ckpt)
+    target_colls = {k: v.get("backbone") for k, v in model_state.items()
+                    if isinstance(v, dict)}
+    imported = import_backbone(family, sd, params["backbone"], target_colls)
+    params = {**params, "backbone": imported["params"]}
+    for coll, tree in imported.items():
+        if coll == "params":
+            continue
+        model_state[coll] = {**model_state.get(coll, {}), "backbone": tree}
+    print(f"loaded pretrained {family} backbone from {torch_ckpt}")
+    return params, model_state
 
 
 def main(argv: Optional[Sequence[str]] = None) -> dict:
@@ -84,7 +120,15 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         args.max_boxes = 8
         args.enc_layers, args.dec_layers = 1, 1
         args.hidden_dim, args.num_queries = 64, 8
-        args.backbone = "swin_test3" if args.masks else "swin_test"
+        if args.backbone == get_args_parser().get_default("backbone"):
+            # pick a tiny smoke backbone matching the head (an explicit
+            # --backbone is respected, e.g. swin-FRCNN module surgery)
+            if args.masks:
+                args.backbone = "swin_test3"
+            elif args.head == "faster_rcnn":
+                args.backbone = "resnet_test"
+            else:
+                args.backbone = "swin_test"
     else:
         assert args.data_root, "--data_root required (or --test)"
         train_dirs = (os.path.join(args.data_root, "train", "data"),
@@ -114,11 +158,21 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         from vit_torch_tpu.detection.engine import FasterRCNNTrainer
         from vit_torch_tpu.detection.faster_rcnn import (
             FasterRCNN, FasterRCNNConfig)
-        rn_arch = args.backbone if args.backbone in RESNET_CONFIGS else \
-            ("resnet_test" if args.test else "resnext50_32x4d")
-        backbone = ResNet(RESNET_CONFIGS[rn_arch], dtype=dtype,
-                          features_only=True, name="backbone")
-        n_stages = len(RESNET_CONFIGS[rn_arch].layers)
+        if args.backbone in SWIN_CONFIGS:
+            # the reference's module-surgery experiment: Swin stage maps
+            # into the FRCNN FPN (object/module_surgery.py:92-126)
+            backbone = SwinTransformer(SWIN_CONFIGS[args.backbone],
+                                       dtype=dtype, multi_features=True,
+                                       name="backbone")
+            family = "swin"
+            n_stages = len(SWIN_CONFIGS[args.backbone].depths)
+        else:
+            rn_arch = args.backbone if args.backbone in RESNET_CONFIGS else \
+                ("resnet_test" if args.test else "resnext50_32x4d")
+            backbone = ResNet(RESNET_CONFIGS[rn_arch], dtype=dtype,
+                              features_only=True, name="backbone")
+            family = "resnet"
+            n_stages = len(RESNET_CONFIGS[rn_arch].layers)
         strides = tuple(4 * 2 ** i for i in range(n_stages))
         sizes = tuple(32.0 * 2 ** i for i in range(n_stages))
         if args.test:
@@ -135,9 +189,13 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         variables = model.init(jax.random.PRNGKey(0), dummy,
                                deterministic=True)
         params = variables["params"]
-        trainer = FasterRCNNTrainer(model, params, cfg=cfg, lr=args.lr)
-        trainer.model_state = {k: v for k, v in variables.items()
-                               if k != "params"}
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        if args.torch_ckpt:
+            params, model_state = _load_pretrained_backbone(
+                args.torch_ckpt, family, params, model_state)
+        trainer = FasterRCNNTrainer(model, params, cfg=cfg, lr=args.lr,
+                                    augment=not args.no_hflip)
+        trainer.model_state = model_state
     else:
         if args.backbone not in SWIN_CONFIGS:
             raise ValueError(
@@ -160,9 +218,13 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                                        name="backbone")
             model = DETR(cfg, backbone, dtype=dtype)
         params = model.init(jax.random.PRNGKey(0), dummy, True)["params"]
+        if args.torch_ckpt:
+            params, _ = _load_pretrained_backbone(
+                args.torch_ckpt, "swin", params, {})
         trainer = DetectionTrainer(model, params, image_size=args.image_size,
                                    num_classes=train_ds.num_classes,
                                    lr=args.lr, masks=args.masks,
+                                   augment=not args.no_hflip,
                                    weight_decay=args.weight_decay)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"model: {n_params / 1e6:.1f}M params ({args.head})")
@@ -185,21 +247,43 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         print(f"\r  [{i + 1}/{n}] " + " ".join(
             f"{k}[{v:.4f}]" for k, v in logs.items()), end="", flush=True)
 
+    # mask models get segm + PQ scoring (reference object/engine.py:58-67
+    # auto-adds segm; object_detr/datasets/panoptic_eval.py for PQ)
+    eval_kw = dict(label_to_cat=val_ds.label_to_cat)
+    if args.masks:
+        eval_kw.update(iou_types=("bbox", "segm"), panoptic=True)
+
+    if not args.no_initial_eval:
+        # initial validation before any training (reference
+        # object/coco_pipeline.py:518-528)
+        metrics = trainer.evaluate(val_loader, val_ds.coco, **eval_kw)
+        record["initial"] = metrics
+        ap0 = metrics.get("bbox", {})
+        print(f"initial: AP {ap0.get('ap', 0):.4f}")
+        save()
+
     for epoch in range(args.epochs):
         t0 = time.time()
-        trainer.set_lr(args.lr)
+        # StepLR(lr_step, lr_gamma) decay, reference coco_pipeline.py:464-476
+        sched_lr = args.lr * args.lr_gamma ** (epoch // max(args.lr_step, 1))
+        trainer.base_lr = sched_lr        # epoch-0 warmup ramps to this
+        trainer.set_lr(sched_lr)
         train_logs = trainer.train_one_epoch(train_loader, epoch,
                                              log_fn=log_fn)
         print()
-        metrics = trainer.evaluate(val_loader, val_ds.coco,
-                                   label_to_cat=val_ds.label_to_cat)
+        metrics = trainer.evaluate(val_loader, val_ds.coco, **eval_kw)
         row = {"epoch": epoch, "time": time.time() - t0,
                "train": train_logs, "val": metrics}
         record["logs"].append(row)
         save()
         ap = metrics.get("bbox", {})
-        print(f"epoch {epoch}: loss {train_logs['loss_total']:.4f} "
-              f"AP {ap.get('ap', 0):.4f} AP50 {ap.get('ap50', 0):.4f}")
+        line = (f"epoch {epoch}: loss {train_logs['loss_total']:.4f} "
+                f"AP {ap.get('ap', 0):.4f} AP50 {ap.get('ap50', 0):.4f}")
+        if "segm" in metrics:
+            line += f" segmAP {metrics['segm'].get('ap', 0):.4f}"
+        if "panoptic" in metrics:
+            line += f" PQ {metrics['panoptic'].get('pq', 0):.4f}"
+        print(line)
 
     record["telem"]["completed"] = True
     save()

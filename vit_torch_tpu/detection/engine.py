@@ -29,10 +29,14 @@ from vit_torch_tpu.detection.boxes import xyxy_to_cxcywh
 from vit_torch_tpu.detection.coco_eval import CocoEvaluator
 from vit_torch_tpu.detection.detr import detr_losses, postprocess
 from vit_torch_tpu.detection.matcher import cost_matrices, hungarian_match
+from vit_torch_tpu.detection.transforms import random_hflip
 
 
-def _prep_targets(batch: Dict[str, np.ndarray], image_size: int):
-    boxes = jnp.asarray(batch["boxes"]) / image_size       # normalize to [0,1]
+def _prep_targets(batch: Dict[str, np.ndarray], image_size: int,
+                  boxes: Optional[jnp.ndarray] = None):
+    if boxes is None:
+        boxes = jnp.asarray(batch["boxes"])
+    boxes = boxes / image_size                              # normalize to [0,1]
     return {
         "labels": jnp.asarray(batch["labels"]),
         "boxes_cxcywh": xyxy_to_cxcywh(boxes),
@@ -41,16 +45,59 @@ def _prep_targets(batch: Dict[str, np.ndarray], image_size: int):
     }
 
 
+def _unletterbox_masks(masks: np.ndarray, scale: float, pad: np.ndarray,
+                       orig_size: np.ndarray) -> np.ndarray:
+    """(N, S, S) letterbox-resolution masks → (N, h, w) original-resolution
+    binary masks (crop the content region, NEAREST-resize back)."""
+    from PIL import Image
+    h, w = int(orig_size[0]), int(orig_size[1])
+    nh, nw = int(round(h * float(scale))), int(round(w * float(scale)))
+    px, py = int(pad[0]), int(pad[1])
+    out = np.zeros((masks.shape[0], h, w), np.uint8)
+    for i, m in enumerate(np.asarray(masks, np.uint8)):
+        crop = m[py:py + nh, px:px + nw] * 255
+        out[i] = np.asarray(
+            Image.fromarray(crop).resize((w, h), Image.NEAREST)) > 0
+    return out
+
+
+def _pq_update(pq, coco_gt, img_id: int, pred: Dict[str, np.ndarray]) -> None:
+    """Score one image's instance masks as panoptic segment maps (gt
+    rasterized from the COCO annotations at original resolution)."""
+    from vit_torch_tpu.detection import _mask
+    from vit_torch_tpu.detection.panoptic_eval import masks_to_segment_map
+    info = coco_gt.imgs[img_id]
+    h, w = int(info["height"]), int(info["width"])
+    gt_map = np.zeros((h, w), np.int32)
+    gt_segments: Dict[int, int] = {}
+    crowd_ids = []
+    for sid, ann in enumerate(coco_gt.img_to_anns.get(img_id, []), start=1):
+        segm = ann.get("segmentation")
+        if segm is None:
+            continue
+        rle = segm if isinstance(segm, dict) else _mask.poly_to_rle(segm, h, w)
+        gt_map[_mask.decode(rle).astype(bool)] = sid
+        gt_segments[sid] = int(ann["category_id"])
+        if ann.get("iscrowd", 0):
+            crowd_ids.append(sid)
+    pred_map, pred_segments = masks_to_segment_map(
+        pred["masks"], [int(l) for l in pred["labels"]],
+        [float(s) for s in pred["scores"]], (h, w))
+    pq.update(gt_map, gt_segments, pred_map, pred_segments, crowd_ids)
+
+
 class DetectionTrainer:
     def __init__(self, model, params, *, image_size: int, num_classes: int,
                  lr: float = 1e-4, weight_decay: float = 1e-4,
                  warmup_steps: int = 0, grad_clip: float = 0.1,
-                 masks: bool = False,
+                 masks: bool = False, augment: bool = False,
                  norm_values: Optional[dict] = None) -> None:
         self.model = model
         self.image_size = image_size
         self.num_classes = num_classes
         self.masks = masks
+        self.augment = augment
+        self.rng = jax.random.PRNGKey(0)
         self.norm = norm_values or NORM_VALUES["imagenet"]
         self.tx = optax.chain(
             optax.clip_by_global_norm(grad_clip),
@@ -68,12 +115,26 @@ class DetectionTrainer:
         model, image_size, num_classes = (self.model, self.image_size,
                                           self.num_classes)
         norm = self.norm
+        augment = self.augment
+
+        def _augmented(batch, rng, with_masks=False):
+            """Flip images+boxes(+masks) — bernoulli(rng) is deterministic in
+            the key, so forward_costs and train_step see the same flip."""
+            images = jnp.asarray(batch["image"])
+            boxes = jnp.asarray(batch["boxes"])
+            masks = (jnp.asarray(batch["gt_masks"])
+                     if with_masks and "gt_masks" in batch else None)
+            if augment:
+                images, boxes, masks = random_hflip(rng, images, boxes,
+                                                    image_size, masks)
+            return images, boxes, masks
 
         @jax.jit
-        def forward_costs(params, batch):
-            images = normalize(jnp.asarray(batch["image"]), **norm)
+        def forward_costs(params, batch, rng):
+            raw, boxes, _ = _augmented(batch, rng)
+            images = normalize(raw, **norm)
             outputs = model.apply({"params": params}, images, True)
-            targets = _prep_targets(batch, image_size)
+            targets = _prep_targets(batch, image_size, boxes=boxes)
             layers = outputs.get("aux_outputs", []) + [outputs]
             costs = jnp.stack([
                 cost_matrices(o["pred_logits"], o["pred_boxes"],
@@ -83,11 +144,13 @@ class DetectionTrainer:
             return costs
 
         @jax.jit
-        def train_step(params, opt_state, batch, assign):
-            targets = _prep_targets(batch, image_size)
+        def train_step(params, opt_state, batch, assign, rng):
+            raw, boxes, gt_masks = _augmented(batch, rng,
+                                              with_masks=self.masks)
+            targets = _prep_targets(batch, image_size, boxes=boxes)
 
             def loss_fn(p):
-                images = normalize(jnp.asarray(batch["image"]), **norm)
+                images = normalize(raw, **norm)
                 outputs = model.apply({"params": p}, images, False)
                 layers = outputs.get("aux_outputs", []) + [outputs]
                 total = 0.0
@@ -100,8 +163,7 @@ class DetectionTrainer:
                 if self.masks and "pred_masks" in outputs:
                     from vit_torch_tpu.detection.segmentation import (
                         mask_losses)
-                    ml = mask_losses(outputs["pred_masks"],
-                                     jnp.asarray(batch["gt_masks"]),
+                    ml = mask_losses(outputs["pred_masks"], gt_masks,
                                      assign[-1], targets["box_mask"],
                                      targets["mask"])
                     total = total + ml["loss_mask"] + ml["loss_dice"]
@@ -116,13 +178,23 @@ class DetectionTrainer:
             logs["loss_total"] = loss
             return params, opt_state, logs
 
+        masks_on = self.masks
+
         @jax.jit
         def predict(params, batch):
             images = normalize(jnp.asarray(batch["image"]), **norm)
             outputs = model.apply({"params": params}, images, True)
-            return postprocess(outputs, image_size,
-                               jnp.asarray(batch["scale"]),
-                               jnp.asarray(batch["pad"]))
+            preds = postprocess(outputs, image_size,
+                                jnp.asarray(batch["scale"]),
+                                jnp.asarray(batch["pad"]))
+            if masks_on and "pred_masks" in outputs:
+                from vit_torch_tpu.detection.segmentation import (
+                    postprocess_segm)
+                # (B, Q, S, S) bool at letterbox resolution; un-letterboxing
+                # to original size happens on host in evaluate()
+                preds["masks"] = postprocess_segm(outputs["pred_masks"],
+                                                  image_size)
+            return preds
 
         self._forward_costs = forward_costs
         self._train_step = train_step
@@ -149,12 +221,15 @@ class DetectionTrainer:
             if warmup and epoch == 0:
                 frac = (i + 1) / max(min(n_batches, 1000), 1)
                 self.set_lr(self.base_lr * min(frac, 1.0))
-            costs = np.asarray(self._forward_costs(self.params, batch))
+            self.rng, step_rng = jax.random.split(self.rng)
+            costs = np.asarray(self._forward_costs(self.params, batch,
+                                                   step_rng))
             assign = np.stack([
                 hungarian_match(costs[li], batch["box_mask"])
                 for li in range(costs.shape[0])])
             self.params, self.opt_state, logs = self._train_step(
-                self.params, self.opt_state, batch, jnp.asarray(assign))
+                self.params, self.opt_state, batch, jnp.asarray(assign),
+                step_rng)
             logs = {k: float(v) for k, v in logs.items()}
             if not np.isfinite(logs["loss_total"]):
                 print(f"Loss is {logs['loss_total']}, stopping training")
@@ -171,11 +246,24 @@ class DetectionTrainer:
     def evaluate(self, loader, coco_gt, iou_types=("bbox",),
                  score_threshold: float = 0.0,
                  label_to_cat: Optional[Dict[int, int]] = None,
+                 panoptic: bool = False,
                  ) -> Dict[str, Dict[str, float]]:
         """Reference ``evaluate`` (``object/engine.py:70-110``): predictions →
         CocoEvaluator update → sync → accumulate → summarize.
-        ``label_to_cat`` maps contiguous model labels back to COCO ids."""
+        ``label_to_cat`` maps contiguous model labels back to COCO ids.
+
+        With ``"segm"`` in ``iou_types``, predicted instance masks are
+        un-letterboxed to original resolution and RLE-scored (reference
+        ``object/engine.py:58-67`` auto-adds segm for mask models); with
+        ``panoptic=True`` they are additionally painted into segment maps
+        and scored as PQ (reference ``object_detr/datasets/panoptic_eval.py``).
+        """
         evaluator = CocoEvaluator(coco_gt, iou_types)
+        want_masks = "segm" in iou_types or panoptic
+        pq = None
+        if panoptic:
+            from vit_torch_tpu.detection.panoptic_eval import PQStat
+            pq = PQStat()
         for batch in loader:
             preds = jax.device_get(self._predict(self.params, batch))
             for b in range(len(batch["image_id"])):
@@ -186,15 +274,26 @@ class DetectionTrainer:
                 if label_to_cat:
                     labels = np.asarray(
                         [label_to_cat.get(int(l), int(l)) for l in labels])
-                evaluator.update({
-                    int(batch["image_id"][b]): {
-                        "boxes": preds["boxes"][b][keep],
-                        "scores": preds["scores"][b][keep],
-                        "labels": labels,
-                    }})
+                update = {
+                    "boxes": preds["boxes"][b][keep],
+                    "scores": preds["scores"][b][keep],
+                    "labels": labels,
+                }
+                if want_masks and "masks" in preds:
+                    update["masks"] = _unletterbox_masks(
+                        preds["masks"][b][keep], batch["scale"][b],
+                        batch["pad"][b], batch["orig_size"][b])
+                img_id = int(batch["image_id"][b])
+                if pq is not None and "masks" in update:
+                    _pq_update(pq, coco_gt, img_id, update)
+                evaluator.update({img_id: update})
         evaluator.synchronize_between_processes()
         evaluator.accumulate()
-        return evaluator.summarize()
+        out = evaluator.summarize()
+        if pq is not None:
+            out["panoptic"] = {k: v for k, v in pq.summarize().items()
+                               if k != "per_class"}
+        return out
 
 
 class FasterRCNNTrainer:
@@ -205,10 +304,12 @@ class FasterRCNNTrainer:
 
     def __init__(self, model, params, *, cfg, lr: float = 2e-3,
                  momentum: float = 0.9, weight_decay: float = 5e-4,
+                 augment: bool = False,
                  norm_values: Optional[dict] = None) -> None:
         # reference optimizer: SGD(momentum .9, wd 5e-4), coco_pipeline.py:464-476
         self.model = model
         self.cfg = cfg
+        self.augment = augment
         self.norm = norm_values or NORM_VALUES["imagenet"]
         self.tx = optax.chain(
             optax.clip_by_global_norm(10.0),
@@ -230,11 +331,19 @@ class FasterRCNNTrainer:
         from vit_torch_tpu.detection.faster_rcnn import (
             faster_rcnn_losses, faster_rcnn_predict)
         model, cfg, norm = self.model, self.cfg, self.norm
+        augment = self.augment
 
         @jax.jit
         def train_step(params, opt_state, batch, rng, model_state):
+            flip_rng, sample_rng = jax.random.split(rng)
+            raw = jnp.asarray(batch["image"])
+            boxes = jnp.asarray(batch["boxes"])
+            if augment:
+                raw, boxes, _ = random_hflip(flip_rng, raw, boxes,
+                                             cfg.image_size)
+
             def loss_fn(p):
-                images = normalize(jnp.asarray(batch["image"]), **norm)
+                images = normalize(raw, **norm)
                 variables = {"params": p, **model_state}
                 mutable = list(model_state.keys())
                 if mutable:
@@ -245,11 +354,11 @@ class FasterRCNNTrainer:
                     outputs = model.apply(variables, images,
                                           deterministic=False)
                     new_ms = {}
-                targets = {"boxes": jnp.asarray(batch["boxes"]),
+                targets = {"boxes": boxes,
                            "labels": jnp.asarray(batch["labels"]),
                            "box_mask": jnp.asarray(batch["box_mask"]),
                            "mask": jnp.asarray(batch["mask"])}
-                losses = faster_rcnn_losses(outputs, targets, cfg, rng)
+                losses = faster_rcnn_losses(outputs, targets, cfg, sample_rng)
                 return losses["loss"], (losses, new_ms)
 
             (loss, (losses, new_ms)), grads = jax.value_and_grad(
