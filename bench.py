@@ -1,17 +1,25 @@
 """Headline benchmark — run on the real TPU chip by the driver.
 
-Measures steady-state training throughput (images/sec/chip) for the
-reference's best directly-comparable logged configuration:
+Measures steady-state training throughput (images/sec/chip) and model FLOPs
+utilisation (MFU) for the reference's logged configurations:
 
-    dino_vitb8 linear-eval, 224×224 input, batch 32
-    reference: 10.8 ms/sample ≈ 92.6 img/s on 1×RTX 3090
-    (BASELINE.md: logs/massA/stats_210716_070509.json
-     results."train.sample_time" = 0.0108)
+  1. dino_vitb8 linear-eval 224px bs32  — headline; reference 10.8 ms/sample
+     ≈ 92.6 img/s on 1×RTX 3090 (BASELINE.md:
+     logs/massA/stats_210716_070509.json results."train.sample_time")
+  2. dino_vitb8 finetune 224px bs32     — the BASELINE.json north-star mode
+     (no logged reference throughput at this size; MFU is the target metric)
+  3. swin_base_patch4_window12_384 linear-eval 384px bs32 — reference
+     12.0 ms/sample ≈ 83.3 img/s (logs/massA/stats_210716_084506.json)
 
-The measured unit is the full linear-eval train step: device-side
-augmentation + frozen ViT-B/8 backbone forward + MLP-head forward/backward +
-optimizer update + device-resident metrics (what the reference's hot loop
-does per batch, minus its 3 host syncs per batch).
+The measured unit is the full train step: device-side augmentation +
+backbone + head forward(/backward) + optimizer update + device-resident
+metrics (what the reference's hot loop does per batch, minus its 3 host
+syncs per batch).
+
+MFU = achieved model FLOP/s ÷ chip peak bf16 FLOP/s, with analytic model
+FLOPs (``vit_flops`` / ``swin_flops``); train-step FLOPs are 1× forward for
+linear-eval (frozen backbone, tiny head) and 3× forward for finetune
+(forward + ~2× backward).
 
 Methodology notes:
 - K steps are fused into ONE dispatch via ``lax.scan`` over a stacked batch —
@@ -21,7 +29,7 @@ Methodology notes:
   read); on this platform ``block_until_ready`` returns at enqueue-ack, not
   completion, and would overstate throughput ~100×.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
@@ -31,16 +39,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_IMG_PER_SEC = 1.0 / 0.0108  # reference 3090 train.sample_time
+# peak bf16 matmul throughput per chip, by device_kind
+PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,          # v5e
+    "TPU v5": 459e12,               # v5p
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,          # trillium
+}
 
-ARCH = "dino_vitb8"
-IMAGE_SIZE = 224
-BATCH = 32
+CONFIGS = [
+    {"name": "dino_vitb8 lineareval 224px bs32", "arch": "dino_vitb8",
+     "image_size": 224, "bs": 32, "lineareval": True,
+     "baseline_img_s": 1.0 / 0.0108, "headline": True},
+    {"name": "dino_vitb8 finetune 224px bs32", "arch": "dino_vitb8",
+     "image_size": 224, "bs": 32, "lineareval": False,
+     "baseline_img_s": None},
+    {"name": "swin_base_384 lineareval 384px bs32",
+     "arch": "swin_base_patch4_window12_384_22k",
+     "image_size": 384, "bs": 32, "lineareval": True,
+     "baseline_img_s": 1.0 / 0.0120},
+]
+
 STEPS_PER_DISPATCH = 20
 MEASURE_ROUNDS = 3
 
 
-def main():
+def model_flops_per_image(arch: str, image_size: int) -> int:
+    """Analytic forward FLOPs per image for the benchmarked archs."""
+    if arch.startswith(("dino_", "vit_", "deit_")):
+        from vit_torch_tpu.models.vit import VIT_CONFIGS, vit_flops
+        return vit_flops(VIT_CONFIGS[arch], image_size)
+    from vit_torch_tpu.models.swin import SWIN_CONFIGS, swin_flops
+    return swin_flops(SWIN_CONFIGS[arch], image_size)
+
+
+def bench_config(cfg: dict) -> dict:
     from vit_torch_tpu.data.augment import make_train_augment
     from vit_torch_tpu.data.datasets import NORM_VALUES
     from vit_torch_tpu.models import VisionModelZoo
@@ -49,12 +83,13 @@ def main():
 
     import optax
 
-    zm = VisionModelZoo.get_model(ARCH, classifier=[512, 10],
-                                  image_size=IMAGE_SIZE, dtype=jnp.bfloat16)
-    variables = zm.init(jax.random.PRNGKey(0), image_size=IMAGE_SIZE)
+    arch, image_size, bs = cfg["arch"], cfg["image_size"], cfg["bs"]
+    zm = VisionModelZoo.get_model(arch, classifier=[512, 10],
+                                  image_size=image_size, dtype=jnp.bfloat16)
+    variables = zm.init(jax.random.PRNGKey(0), image_size=image_size)
     tx = get_optimizer("adamw", lr=1e-3)
     state = create_train_state(jax.random.PRNGKey(1), variables["params"], tx,
-                               lineareval=True)
+                               lineareval=cfg["lineareval"])
     augment = make_train_augment(**NORM_VALUES["stl10"], dtype=jnp.bfloat16)
     apply_fn = zm.model.apply
 
@@ -66,7 +101,8 @@ def main():
         def loss_fn(params):
             vs = {"params": {**state.frozen, **params}}
             logits = apply_fn(vs, images, False, rngs={"dropout": rng})
-            return cross_entropy_loss(logits, batch["label"], batch["mask"]), logits
+            return (cross_entropy_loss(logits, batch["label"], batch["mask"]),
+                    logits)
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
@@ -82,10 +118,10 @@ def main():
 
     rng = np.random.default_rng(0)
     batches = {
-        "image": rng.integers(0, 255, (STEPS_PER_DISPATCH, BATCH, IMAGE_SIZE,
-                                       IMAGE_SIZE, 3), dtype=np.uint8),
-        "label": rng.integers(0, 10, (STEPS_PER_DISPATCH, BATCH)).astype(np.int32),
-        "mask": np.ones((STEPS_PER_DISPATCH, BATCH), np.float32),
+        "image": rng.integers(0, 255, (STEPS_PER_DISPATCH, bs, image_size,
+                                       image_size, 3), dtype=np.uint8),
+        "label": rng.integers(0, 10, (STEPS_PER_DISPATCH, bs)).astype(np.int32),
+        "mask": np.ones((STEPS_PER_DISPATCH, bs), np.float32),
     }
     batches = jax.device_put(batches)
 
@@ -101,14 +137,36 @@ def main():
         times.append(time.perf_counter() - t0)
 
     dt = min(times)
-    img_per_sec = STEPS_PER_DISPATCH * BATCH / dt
     n_chips = max(len(jax.devices()), 1)
-    value = img_per_sec / n_chips
+    img_per_sec = STEPS_PER_DISPATCH * bs / dt / n_chips
+
+    fwd = model_flops_per_image(arch, image_size)
+    step_flops = fwd * (1 if cfg["lineareval"] else 3)
+    achieved = img_per_sec * step_flops
+    peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
+    out = {
+        "name": cfg["name"],
+        "img_per_sec_chip": round(img_per_sec, 2),
+        "tflops_per_sec": round(achieved / 1e12, 2),
+        "mfu_pct": round(100 * achieved / peak, 2) if peak else None,
+    }
+    if cfg["baseline_img_s"]:
+        out["vs_baseline"] = round(img_per_sec / cfg["baseline_img_s"], 3)
+    return out
+
+
+def main():
+    results = [bench_config(c) for c in CONFIGS]
+    headline = results[0]
     print(json.dumps({
-        "metric": f"images/sec/chip {ARCH} lineareval {IMAGE_SIZE}px bs{BATCH}",
-        "value": round(value, 2),
+        "metric": f"images/sec/chip {CONFIGS[0]['name']}",
+        "value": headline["img_per_sec_chip"],
         "unit": "img/s",
-        "vs_baseline": round(value / BASELINE_IMG_PER_SEC, 3),
+        "vs_baseline": headline["vs_baseline"],
+        "extra": {
+            "device": jax.devices()[0].device_kind,
+            "configs": results,
+        },
     }))
 
 

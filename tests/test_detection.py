@@ -260,3 +260,84 @@ def test_rasterize_rle_respects_letterbox():
     # nothing outside the letterboxed region
     assert got[:pad_y].sum() == 0 and got[pad_y + nh:].sum() == 0
     assert got[:, :pad_x].sum() == 0 and got[:, pad_x + nw:].sum() == 0
+
+
+def test_coco_loader_overlaps_decode(tmp_path):
+    """The thread-pool + prefetch pipeline must overlap per-sample work with
+    consumption: with 4 workers, a slow dataset loads markedly faster than
+    the serial path."""
+    import time
+    from vit_torch_tpu.detection.coco_data import (
+        CocoDetectionDataset, CocoLoader, make_synthetic_coco)
+
+    img_dir, ann_file = make_synthetic_coco(str(tmp_path), n_images=16,
+                                            size=32)
+    ds = CocoDetectionDataset(img_dir, ann_file, image_size=32, max_boxes=4)
+
+    class Slow:
+        """Proxy dataset with a fixed per-sample cost."""
+        def __init__(self, inner):
+            self.inner = inner
+        def __len__(self):
+            return len(self.inner)
+        def __getitem__(self, i):
+            time.sleep(0.02)
+            return self.inner[i]
+
+    slow = Slow(ds)
+
+    def consume(loader):
+        t0 = time.perf_counter()
+        batches = list(loader)
+        return time.perf_counter() - t0, batches
+
+    t_serial, b_serial = consume(CocoLoader(slow, 8, num_workers=0))
+    t_pool, b_pool = consume(CocoLoader(slow, 8, num_workers=4))
+    assert t_pool < t_serial * 0.6, (t_pool, t_serial)
+    # identical content either way
+    for a, b in zip(b_serial, b_pool):
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["boxes"], b["boxes"])
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+
+
+def test_cocoeval_keypoints_oks():
+    """keypoints iou_type (reference object/coco_eval.py:19-155 handles
+    bbox/segm/keypoints): perfect keypoint predictions score AP 1; a far-off
+    prediction scores 0."""
+    K = 17
+    kps = []
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(20, 40, (K, 2))
+    for x, y in pts:
+        kps.extend([float(x), float(y), 2])
+    gt = COCO(dataset={
+        "images": [{"id": 1, "height": 64, "width": 64}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1,
+             "bbox": [20, 20, 20, 20], "area": 400, "iscrowd": 0,
+             "keypoints": kps, "num_keypoints": K},
+        ],
+        "categories": [{"id": 1, "name": "person"}],
+    })
+    evaluator = CocoEvaluator(gt, ["keypoints"])
+    evaluator.update({1: {
+        "boxes": np.asarray([[20.0, 20, 40, 40]]),
+        "scores": np.asarray([0.9]),
+        "labels": np.asarray([1]),
+        "keypoints": np.asarray(kps, np.float64).reshape(1, K, 3),
+    }})
+    evaluator.accumulate()
+    out = evaluator.summarize()
+    assert out["keypoints"]["ap"] > 0.99
+    assert out["keypoints"]["ar"] > 0.99
+
+    bad = CocoEvaluator(gt, ["keypoints"])
+    far = np.asarray(kps, np.float64).reshape(1, K, 3)
+    far[..., :2] += 500.0
+    bad.update({1: {"boxes": np.asarray([[520.0, 520, 540, 540]]),
+                    "scores": np.asarray([0.9]),
+                    "labels": np.asarray([1]),
+                    "keypoints": far}})
+    bad.accumulate()
+    assert bad.summarize()["keypoints"]["ap"] < 0.01

@@ -75,3 +75,94 @@ def test_xla_attention_bias_and_mask():
     m1 = _xla_attention(q, k, v, scale=1.0, mask=mask)
     m2 = _xla_attention(q, k, v.at[:, 1].set(-50.0), scale=1.0, mask=mask)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# fused window attention (Swin)
+# --------------------------------------------------------------------------
+
+def _window_ref(q, k, v, bias, mask, scale):
+    """XLA reference — the pre-kernel WindowAttention math."""
+    Bn, N, H, D = q.shape
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits + bias[None].astype(jnp.float32)
+    if mask is not None:
+        nW = mask.shape[0]
+        logits = logits.reshape(Bn // nW, nW, H, N, N) \
+            + mask[None, :, None].astype(jnp.float32)
+        logits = logits.reshape(Bn, H, N, N)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+
+def _window_qkv(Bn=8, N=49, H=3, D=32, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.normal(0, 1, (Bn, N, H, D)), dtype)
+    q, k, v = mk(), mk(), mk()
+    bias = jnp.asarray(rng.normal(0, 0.5, (H, N, N)), jnp.float32)
+    return q, k, v, bias
+
+
+@pytest.mark.parametrize("N,Bn", [(49, 8), (16, 6)])
+def test_window_attention_forward(N, Bn):
+    from vit_torch_tpu.ops.window_attention import window_attention
+    q, k, v, bias = _window_qkv(Bn=Bn, N=N)
+    scale = q.shape[-1] ** -0.5
+    ours = window_attention(q, k, v, bias)
+    ref = _window_ref(q, k, v, bias, None, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_window_attention_forward_masked():
+    from vit_torch_tpu.ops.window_attention import window_attention
+    nW, B = 4, 3
+    q, k, v, bias = _window_qkv(Bn=nW * B, N=25)
+    rng = np.random.default_rng(7)
+    mask = jnp.asarray(
+        np.where(rng.random((nW, 25, 25)) > 0.7, -100.0, 0.0), jnp.float32)
+    scale = q.shape[-1] ** -0.5
+    ours = window_attention(q, k, v, bias, mask)
+    ref = _window_ref(q, k, v, bias, mask, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_window_attention_backward():
+    from vit_torch_tpu.ops.window_attention import window_attention
+    nW = 4
+    q, k, v, bias = _window_qkv(Bn=nW * 2, N=16)
+    rng = np.random.default_rng(3)
+    mask = jnp.asarray(
+        np.where(rng.random((nW, 16, 16)) > 0.8, -100.0, 0.0), jnp.float32)
+    scale = q.shape[-1] ** -0.5
+
+    def loss_ours(q, k, v, bias):
+        return jnp.sum(window_attention(q, k, v, bias, mask) ** 2)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(_window_ref(q, k, v, bias, mask, scale) ** 2)
+
+    g_ours = jax.grad(loss_ours, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b in zip(("dq", "dk", "dv", "dbias"), g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-3, err_msg=name)
+
+
+def test_window_attention_in_swin_model(monkeypatch):
+    """Full Swin forward with the fused kernel (interpret mode) matches the
+    XLA path."""
+    from vit_torch_tpu.models.swin import SWIN_CONFIGS, SwinTransformer
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (1, 32, 32, 3)),
+                    jnp.float32)
+    model = SwinTransformer(SWIN_CONFIGS["swin_test"], dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, True)["params"]
+
+    monkeypatch.setenv("VITX_FUSED_WINDOW", "0")
+    ref = model.apply({"params": params}, x, True)
+    monkeypatch.setenv("VITX_FUSED_WINDOW", "1")
+    ours = model.apply({"params": params}, x, True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)

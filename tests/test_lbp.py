@@ -75,13 +75,61 @@ def test_tire_dataset(tmp_path):
         for i in range(6):
             Image.fromarray(rng.integers(0, 256, (32, 32, 3),
                                          dtype=np.uint8)).save(d / f"{i}.png")
-    from vit_torch_tpu.data.tire import get_tire_dataset
-    ds = get_tire_dataset(str(tmp_path), image_size=16, bs=4, settings=0)
+    from vit_torch_tpu.data.tire import TIRE_SETTINGS, get_tire_dataset
+    ds = get_tire_dataset(str(tmp_path), image_size=16, bs=4, settings=1)
     assert ds.num_labels == 2
     assert ds.image_channels == 3          # ('l', 'default', 'uniform')
+    # train keeps the pre-random-crop margin: 16 * 1.2 // 2 * 2 = 18
     batch = next(iter(ds.loaders["train"]))
-    assert batch["image"].shape == (4, 16, 16, 3)
+    assert batch["image"].shape == (4, 18, 18, 3)
     assert batch["image"].dtype == np.uint8
-    # N-channel variant
-    ds2 = get_tire_dataset(str(tmp_path), image_size=16, bs=4, settings=2)
-    assert ds2.image_channels == 4
+    val = next(iter(ds.loaders["val"]))
+    assert val["image"].shape[1:] == (16, 16, 3)
+    # setting 0 is the 7-channel recipe (reference main.py:135-152)
+    ds0 = get_tire_dataset(str(tmp_path), image_size=16, bs=4, settings=0)
+    assert ds0.image_channels == 7
+
+
+def test_tire_settings_differ(tmp_path):
+    """Settings 0-3 produce visibly different preprocessing: channel counts
+    and zoom/crop geometry per the reference preset table."""
+    rng = np.random.default_rng(1)
+    for cls in ("a", "b"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(4):
+            Image.fromarray(rng.integers(0, 256, (40, 24, 3),
+                                         dtype=np.uint8)).save(d / f"{i}.png")
+    from vit_torch_tpu.data.tire import get_tire_dataset
+    infos = {}
+    for s in range(4):
+        ds = get_tire_dataset(str(tmp_path), image_size=20, bs=2, settings=s,
+                              prefetch=False)
+        infos[s] = (ds.image_channels, ds.info["zoom_shape"],
+                    ds.info["pre_crop_shape"])
+    assert infos[0] == (7, 40, 24)       # zoom 2.0, crop 1.2
+    assert infos[1] == (3, 40, 24)
+    assert infos[2] == (3, 48, 24)       # zoom 2.4
+    assert infos[3] == (3, 48, 32)       # zoom 2.4, crop 1.6
+    assert len({v for v in infos.values()}) == 4
+
+
+def test_tire_augment_fn_crops_and_normalizes(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(2)
+    for cls in ("a", "b"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(4):
+            Image.fromarray(rng.integers(0, 256, (32, 32, 3),
+                                         dtype=np.uint8)).save(d / f"{i}.png")
+    from vit_torch_tpu.data.tire import get_tire_dataset
+    ds = get_tire_dataset(str(tmp_path), image_size=16, bs=2, settings=3,
+                          prefetch=False)
+    aug = ds.make_augment_fn()
+    batch = next(iter(ds.loaders["train"]))
+    out = aug(jax.random.PRNGKey(0), jnp.asarray(batch["image"]))
+    assert out.shape == (2, 16, 16, 3)       # cropped to image_size
+    assert out.dtype == jnp.float32
+    assert float(jnp.abs(out).max()) <= 2.01  # normalized (0.5, 0.25)

@@ -32,8 +32,12 @@ import numpy as np
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a torch checkpoint file to a flat {key: np.ndarray} dict.
 
-    Handles the reference's wrapper variants: ``{'model': sd}`` /
-    ``{'state_dict': sd}`` unwrap, ``module.`` prefix strip.
+    Handles the published-checkpoint wrapper variants: ``{'model': sd}``
+    (MSFT Swin releases) / ``{'state_dict': sd}`` / ``{'teacher': sd}``
+    (DINO full checkpoints) unwrap, ``module.`` prefix strip (DDP /
+    timm-CaiT), and the DINO full-checkpoint ``backbone.`` prefix (keys are
+    ``module.backbone.*`` + ``module.head.*`` inside ``teacher`` —
+    reference loads the hub backbone, which is the ``backbone.`` subtree).
     """
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=True)
@@ -47,6 +51,10 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
             k = k[len("module."):]
         if hasattr(v, "numpy"):
             out[k] = v.detach().cpu().numpy()
+    if out and all(k.startswith(("backbone.", "head.", "head_dist."))
+                   for k in out):
+        out = {k[len("backbone."):]: v for k, v in out.items()
+               if k.startswith("backbone.")}
     return out
 
 

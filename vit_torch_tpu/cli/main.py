@@ -97,8 +97,10 @@ def main(argv: Optional[Sequence[str]] = None) -> Stats:
         init_params=init_params, mesh=mesh,
         ckpt_dir=args["ckpt_dir"], save_every=args["save_every"],
         resume=args["resume"],
-        augment_fn=make_train_augment(**data.norm_values, dtype=dtype,
-                                      auto_policy=args["aug_auto"] or None),
+        augment_fn=(data.make_augment_fn(dtype=dtype)
+                    if hasattr(data, "make_augment_fn") else
+                    make_train_augment(**data.norm_values, dtype=dtype,
+                                       auto_policy=args["aug_auto"] or None)),
         eval_transform=make_eval_transform(**data.norm_values, dtype=dtype),
     )
     # scan mode handles single-chip and pure data-parallel meshes; TP/SP

@@ -54,6 +54,26 @@ def random_hflip(rng: jax.Array, images: jax.Array, p: float = 0.5) -> jax.Array
     return jnp.where(flip, images[:, :, ::-1, :], images)
 
 
+def random_vflip(rng: jax.Array, images: jax.Array, p: float = 0.5) -> jax.Array:
+    B = images.shape[0]
+    flip = jax.random.bernoulli(rng, p, (B, 1, 1, 1))
+    return jnp.where(flip, images[:, ::-1, :, :], images)
+
+
+def random_crop_to(rng: jax.Array, images: jax.Array, size: int) -> jax.Array:
+    """Batched random crop of a *larger* image down to ``size`` (torchvision
+    ``RandomCrop(size)`` with no padding — the tire pipeline's zoomed crop)."""
+    B, H, W, C = images.shape
+    ry, rx = jax.random.split(rng)
+    offs_y = jax.random.randint(ry, (B,), 0, H - size + 1)
+    offs_x = jax.random.randint(rx, (B,), 0, W - size + 1)
+
+    def crop_one(img, oy, ox):
+        return jax.lax.dynamic_slice(img, (oy, ox, 0), (size, size, C))
+
+    return jax.vmap(crop_one)(images, offs_y, offs_x)
+
+
 def cutout(rng: jax.Array, images: jax.Array, size: int,
            fill_value: float = 0.0) -> jax.Array:
     """Batched Cutout (reference ``utils_datasets.py:22-59``): one square of

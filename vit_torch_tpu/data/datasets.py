@@ -131,10 +131,13 @@ def _standard_arrays(dataset: str, split: str, root_path: str):
 
 
 def _imagefolder_arrays(data_path: str, image_size: int, test_ratio: float = 0.2,
-                        seed: int = 0):
+                        seed: int = 0, letterbox: bool = False,
+                        fill: int = 128):
     """ImageFolder with per-class stratified train/test split (the
     reference's ``LocalDatasets`` + ``SubsetRandomSampler`` scheme,
-    ``utils_datasets.py:911-1068``)."""
+    ``utils_datasets.py:911-1068``).  ``letterbox=True`` preserves aspect
+    ratio and pads with ``fill`` (the reference's ``TRANS.fit_to``,
+    ``utils_datasets.py:1203-1267``) instead of a plain square resize."""
     from PIL import Image
     classes = sorted(d for d in os.listdir(data_path)
                      if os.path.isdir(os.path.join(data_path, d)))
@@ -150,7 +153,18 @@ def _imagefolder_arrays(data_path: str, image_size: int, test_ratio: float = 0.2
         for j, fi in enumerate(order):
             split = "test" if j < n_test else "train"
             img = Image.open(os.path.join(cdir, files[fi])).convert("RGB")
-            img = img.resize((image_size, image_size), Image.BICUBIC)
+            if letterbox:
+                w, h = img.size
+                scale = image_size / max(w, h)
+                nw, nh = int(round(w * scale)), int(round(h * scale))
+                resized = img.resize((nw, nh), Image.BICUBIC)
+                canvas = Image.new("RGB", (image_size, image_size),
+                                   (fill, fill, fill))
+                canvas.paste(resized, ((image_size - nw) // 2,
+                                       (image_size - nh) // 2))
+                img = canvas
+            else:
+                img = img.resize((image_size, image_size), Image.BICUBIC)
             out[split][0].append(np.asarray(img, np.uint8))
             out[split][1].append(ci)
     result = {}

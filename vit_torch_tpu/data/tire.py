@@ -1,17 +1,39 @@
 """Tire (ImageFolder + LBP) dataset builder.
 
 Capability parity with the reference's ``utils_dataset_tire.py``
-(``get_tire_dataset``, ``:30-132``): an ImageFolder dataset whose inputs are
-LBP channel-stacks (channel count = number of LBP methods / channels chosen),
-with zoom/letterbox preprocessing settings 0-3 and standard train-time
-augmentation.  LBP construction happens once at dataset build time on the
-host (it feeds an N-channel model via the zoo's ``image_channels``); the
-random crop/flip run on device like every other dataset.
+(``get_tire_dataset``, ``:30-132``) and the per-setting presets in the
+reference CLI (``main.py:135-152``):
+
+| setting | LBP methods                                   | zoom | crop |
+|---------|-----------------------------------------------|------|------|
+| 0       | r,g,b,default,uniform,ror,nri_uniform (7 ch)  | 2.0  | 1.2  |
+| 1       | l,default,uniform (3 ch)                      | 2.0  | 1.2  |
+| 2       | l,default,uniform                             | 2.4  | 1.2  |
+| 3       | l,default,uniform                             | 2.4  | 1.6  |
+
+with LBP radius 2 / point_mult 8 in every setting, and the reference's
+pipeline order (``utils_dataset_tire.py:59-90``):
+``fit_to(zoom_shape, fill=128)`` → ``CenterCrop(pre_crop_shape)`` →
+``RandomCrop(image_size)`` → HFlip → VFlip → [ColorJitter → AutoAugment] →
+``lbp_merge`` → ``Normalize(0.5, 0.25)``, where
+``zoom_shape = image_size·max(1, crop, zoom)`` and
+``pre_crop_shape = image_size·max(1, crop)`` (both rounded to even).
+
+TPU redesign: the deterministic prefix (letterbox + center crop) and the
+LBP stack run once at dataset-build time on the host; the random crop and
+flips run device-side inside the jitted train step **on the LBP channel
+stack** (``make_augment_fn``).  Cropping commutes with LBP (codes are local);
+flips of LBP maps differ from LBP of flipped images only for
+orientation-sensitive codes — accepted so train steps need no per-step host
+LBP (the reference needed 16 worker processes for exactly that).  Color
+jitter is intentionally dropped: LBP is invariant to monotone intensity
+transforms, so it only affected the raw r/g/b passthrough channels.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+import functools
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -19,14 +41,22 @@ from vit_torch_tpu.data.datasets import NORM_VALUES, _imagefolder_arrays
 from vit_torch_tpu.data.lbp import get_lbp_merge
 from vit_torch_tpu.data.loader import ArrayDataLoader, PrefetchLoader
 
-# the reference's preprocessing presets (--tire_settings 0..3):
-# channel recipes for the LBP stack
+# reference preset table (main.py:135-152): (methods, zoom, random_crop)
 TIRE_SETTINGS = {
-    0: dict(methods=("l", "default", "uniform"), radius=1),
-    1: dict(methods=("l", "default", "uniform"), radius=2),
-    2: dict(methods=("default", "ror", "uniform", "nri_uniform"), radius=1),
-    3: dict(methods=("r", "g", "b"), radius=1),       # plain RGB passthrough
+    0: dict(methods=("r", "g", "b", "default", "uniform", "ror",
+                     "nri_uniform"), zoom=2.0, crop=1.2),
+    1: dict(methods=("l", "default", "uniform"), zoom=2.0, crop=1.2),
+    2: dict(methods=("l", "default", "uniform"), zoom=2.4, crop=1.2),
+    3: dict(methods=("l", "default", "uniform"), zoom=2.4, crop=1.6),
 }
+TIRE_LBP_RADIUS = 2       # reference _lbp_dict (main.py:152)
+TIRE_LBP_POINT_MULT = 8
+
+
+def _center_crop(imgs: np.ndarray, size: int) -> np.ndarray:
+    H, W = imgs.shape[1:3]
+    oy, ox = (H - size) // 2, (W - size) // 2
+    return imgs[:, oy:oy + size, ox:ox + size]
 
 
 def get_tire_dataset(data_path: str, image_size: int = 224, bs: int = 32,
@@ -46,21 +76,32 @@ class TireDatasets:
                  prefetch: bool = True) -> None:
         assert settings in TIRE_SETTINGS, f"settings must be 0-3, got {settings}"
         recipe = TIRE_SETTINGS[settings]
+        zoom, crop = recipe["zoom"], recipe["crop"]
+        # reference shape arithmetic (utils_dataset_tire.py:57-58)
+        zoom_shape = int(image_size * max(1.0, crop, zoom)) // 2 * 2
+        pre_crop_shape = int(image_size * max(1.0, crop)) // 2 * 2
         folder_splits, classes = _imagefolder_arrays(
-            data_path, image_size, test_ratio=test_ratio, seed=seed)
+            data_path, zoom_shape, test_ratio=test_ratio, seed=seed,
+            letterbox=True, fill=128)
         self.classes = classes
         self.num_labels = len(classes)
         self.image_channels = len(recipe["methods"])
+
+        lbp = functools.partial(get_lbp_merge, radius=TIRE_LBP_RADIUS,
+                                point_mult=TIRE_LBP_POINT_MULT,
+                                methods=recipe["methods"])
         splits: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         for split, (imgs, labels) in folder_splits.items():
-            stacked = np.stack([
-                get_lbp_merge(img, radius=recipe["radius"],
-                              methods=recipe["methods"])
-                for img in imgs])
-            splits[split] = (stacked, labels)
+            # train keeps the pre-random-crop margin (device crops per step);
+            # test is deterministically center-cropped to the final size
+            crop_size = pre_crop_shape if split == "train" else image_size
+            imgs = _center_crop(imgs, crop_size)
+            splits[split] = (np.stack([lbp(img) for img in imgs]), labels)
         self.sets = splits
         self.image_size = image_size
-        # LBP channels are ~uniform in [0,255]; normalize mid-range
+        self.settings = settings
+        # LBP channels are ~uniform in [0,255]; reference normalizes all
+        # channels with (0.5, 0.25) (utils_dataset_tire.py:91)
         self.norm_values = {
             "mean": [0.5] * self.image_channels,
             "std": [0.25] * self.image_channels,
@@ -70,6 +111,9 @@ class TireDatasets:
             "num_labels": self.num_labels,
             "image_size": image_size,
             "image_channels": self.image_channels,
+            "settings": settings,
+            "zoom_shape": zoom_shape,
+            "pre_crop_shape": pre_crop_shape,
             "sample_count_train": len(splits["train"][1]),
             "sample_count_val": len(splits["test"][1]),
         }
@@ -82,3 +126,26 @@ class TireDatasets:
             train_loader = PrefetchLoader(train_loader)
             val_loader = PrefetchLoader(val_loader)
         self.loaders = {"train": train_loader, "val": val_loader}
+
+    def make_augment_fn(self, dtype=None) -> Callable:
+        """Device-side train augmentation on the LBP stack: RandomCrop to
+        ``image_size`` + HFlip + VFlip + Normalize (the random suffix of the
+        reference pipeline)."""
+        import jax
+        import jax.numpy as jnp
+        from vit_torch_tpu.data.augment import (
+            normalize, random_crop_to, random_hflip, random_vflip)
+        size = self.image_size
+        mean, std = self.norm_values["mean"], self.norm_values["std"]
+        out_dtype = dtype if dtype is not None else jnp.float32
+
+        def augment(rng, images):
+            r_crop, r_h, r_v = jax.random.split(rng, 3)
+            x = images
+            if x.shape[1] > size:
+                x = random_crop_to(r_crop, x, size)
+            x = random_hflip(r_h, x)
+            x = random_vflip(r_v, x)
+            return normalize(x, mean, std, dtype=out_dtype)
+
+        return augment

@@ -149,15 +149,23 @@ class CocoDetectionDataset:
 
 
 class CocoLoader:
-    """Fixed-shape batcher over :class:`CocoDetectionDataset` with a
-    background-thread prefetcher (same pattern as the classification
-    loader)."""
+    """Fixed-shape batcher over :class:`CocoDetectionDataset`.
+
+    Host input pipeline (the reference's ``DataLoader(num_workers=4)``
+    equivalent, ``object/coco_pipeline.py:411-417``): per-sample JPEG decode
+    + letterboxing runs on a thread pool (PIL releases the GIL in its C
+    codecs), and assembled batches are staged through a bounded queue by a
+    producer thread, so the host pipeline overlaps device compute instead of
+    starving the chip."""
 
     def __init__(self, dataset: CocoDetectionDataset, batch_size: int,
-                 shuffle: bool = False, seed: int = 0) -> None:
+                 shuffle: bool = False, seed: int = 0,
+                 num_workers: int = 4, prefetch: int = 2) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
 
     @property
@@ -168,7 +176,15 @@ class CocoLoader:
         n = len(self.dataset)
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
+    def _assemble(self, idx: np.ndarray, valid: int, fetch) -> dict:
+        samples = list(fetch(self.dataset.__getitem__,
+                             [int(i) for i in idx]))
+        batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        batch["mask"] = (np.arange(self.batch_size) < valid).astype(
+            np.float32)
+        return batch
+
+    def _batches(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
@@ -178,11 +194,41 @@ class CocoLoader:
             valid = len(idx)
             if valid < bs:
                 idx = np.concatenate([idx, np.zeros(bs - valid, np.int64)])
-            samples = [self.dataset[int(i)] for i in idx]
-            batch = {k: np.stack([s[k] for s in samples])
-                     for k in samples[0]}
-            batch["mask"] = (np.arange(bs) < valid).astype(np.float32)
-            yield batch
+            yield idx, valid
+
+    def __iter__(self):
+        if self.num_workers <= 0:               # serial fallback
+            for idx, valid in self._batches():
+                yield self._assemble(idx, valid, map)
+            return
+
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: list = []
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idx, valid in self._batches():
+                        q.put(self._assemble(idx, valid, pool.map))
+            except BaseException as e:          # propagate to consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
 
 
 def make_synthetic_coco(tmp_dir: str, n_images: int = 8, size: int = 64,

@@ -71,6 +71,14 @@ class COCO:
                 ann["area"] = w * h
             if "segmentation" in ann and "area" not in ann:
                 ann["area"] = _mask.area(ann["segmentation"])
+            if "keypoints" in ann and "bbox" not in ann:
+                # pycocotools loadRes: bbox/area from the keypoint extent
+                kp = np.asarray(ann["keypoints"], np.float64).reshape(-1, 3)
+                xs, ys = kp[:, 0], kp[:, 1]
+                x0, x1 = float(xs.min()), float(xs.max())
+                y0, y1 = float(ys.min()), float(ys.max())
+                ann["bbox"] = [x0, y0, x1 - x0, y1 - y0]
+                ann["area"] = (x1 - x0) * (y1 - y0)
             ann.setdefault("iscrowd", 0)
             anns.append(ann)
         res.dataset["annotations"] = anns
@@ -78,12 +86,18 @@ class COCO:
         return res
 
 
+# COCO-17 per-keypoint OKS sigmas (the published constants)
+KPT_OKS_SIGMAS = np.array([
+    .26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+    1.07, 1.07, .87, .87, .89, .89]) / 10.0
+
+
 class COCOeval:
-    """COCO evaluation protocol (bbox / segm)."""
+    """COCO evaluation protocol (bbox / segm / keypoints)."""
 
     def __init__(self, coco_gt: COCO, coco_dt: COCO,
                  iou_type: str = "bbox") -> None:
-        assert iou_type in ("bbox", "segm"), iou_type
+        assert iou_type in ("bbox", "segm", "keypoints"), iou_type
         self.coco_gt = coco_gt
         self.coco_dt = coco_dt
         self.iou_type = iou_type
@@ -91,10 +105,17 @@ class COCOeval:
         self.cat_ids = coco_gt.get_cat_ids() or [-1]
         self.iou_thrs = np.linspace(0.5, 0.95, 10)
         self.rec_thrs = np.linspace(0.0, 1.0, 101)
-        self.max_dets = [1, 10, 100]
-        self.area_rng = [[0.0, 1e10], [0.0, 32 ** 2],
-                         [32 ** 2, 96 ** 2], [96 ** 2, 1e10]]
-        self.area_lbl = ["all", "small", "medium", "large"]
+        if iou_type == "keypoints":
+            # keypoint protocol: single maxDets=20, no "small" bucket
+            self.max_dets = [20]
+            self.area_rng = [[0.0, 1e10], [32 ** 2, 96 ** 2],
+                             [96 ** 2, 1e10]]
+            self.area_lbl = ["all", "medium", "large"]
+        else:
+            self.max_dets = [1, 10, 100]
+            self.area_rng = [[0.0, 1e10], [0.0, 32 ** 2],
+                             [32 ** 2, 96 ** 2], [96 ** 2, 1e10]]
+            self.area_lbl = ["all", "small", "medium", "large"]
         self.stats: np.ndarray = np.zeros(12)
         self.eval: dict = {}
         self._img_cat_results: Dict = {}
@@ -113,6 +134,8 @@ class COCOeval:
         if not gts or not dts:
             return np.zeros((len(dts), len(gts)))
         dts = sorted(dts, key=lambda d: -d.get("score", 0))[:self.max_dets[-1]]
+        if self.iou_type == "keypoints":
+            return self._compute_oks(dts, gts)
         iscrowd = [int(g.get("iscrowd", 0)) for g in gts]
         if self.iou_type == "bbox":
             d = np.asarray([dt["bbox"] for dt in dts], np.float64)
@@ -123,6 +146,40 @@ class COCOeval:
             d = [self._to_rle(dt["segmentation"], h, w) for dt in dts]
             g = [self._to_rle(gt["segmentation"], h, w) for gt in gts]
         return _mask.iou(d, g, iscrowd)
+
+    @staticmethod
+    def _compute_oks(dts, gts):
+        """Object Keypoint Similarity matrix (pycocotools ``computeOks``
+        semantics): per-gt gaussian falloff with the published per-keypoint
+        sigmas; invisible-gt keypoints fall back to distance from the 2×
+        expanded gt box."""
+        ious = np.zeros((len(dts), len(gts)))
+        for j, gt in enumerate(gts):
+            g = np.asarray(gt["keypoints"], np.float64).reshape(-1, 3)
+            xg, yg, vg = g[:, 0], g[:, 1], g[:, 2]
+            k = len(g)
+            sigmas = KPT_OKS_SIGMAS if k == len(KPT_OKS_SIGMAS) \
+                else np.full(k, 0.05)
+            variances = (2 * sigmas) ** 2
+            x0, y0, bw, bh = gt["bbox"]
+            x1, y1 = x0 + bw, y0 + bh
+            area = gt.get("area", bw * bh)
+            for i, dt in enumerate(dts):
+                d = np.asarray(dt["keypoints"], np.float64).reshape(-1, 3)
+                xd, yd = d[:, 0], d[:, 1]
+                if vg.sum() > 0:
+                    dx, dy = xd - xg, yd - yg
+                else:
+                    z = np.zeros(k)
+                    dx = np.maximum(z, (x0 - bw) - xd) \
+                        + np.maximum(z, xd - (x1 + bw))
+                    dy = np.maximum(z, (y0 - bh) - yd) \
+                        + np.maximum(z, yd - (y1 + bh))
+                e = (dx ** 2 + dy ** 2) / variances / (area + np.spacing(1)) / 2
+                if vg.sum() > 0:
+                    e = e[vg > 0]
+                ious[i, j] = np.mean(np.exp(-e)) if e.size else 0.0
+        return ious
 
     @staticmethod
     def _to_rle(segm, h, w):
@@ -260,6 +317,19 @@ class COCOeval:
 
     def summarize(self) -> np.ndarray:
         s = self._summarize
+        if self.iou_type == "keypoints":
+            # pycocotools keypoint stats layout (10 entries, maxDets=20)
+            self.stats = np.array([
+                s(True, max_det=20), s(True, 0.5, max_det=20),
+                s(True, 0.75, max_det=20),
+                s(True, area="medium", max_det=20),
+                s(True, area="large", max_det=20),
+                s(False, max_det=20), s(False, 0.5, max_det=20),
+                s(False, 0.75, max_det=20),
+                s(False, area="medium", max_det=20),
+                s(False, area="large", max_det=20),
+            ])
+            return self.stats
         self.stats = np.array([
             s(True), s(True, 0.5), s(True, 0.75),
             s(True, area="small"), s(True, area="medium"), s(True, area="large"),
@@ -277,6 +347,8 @@ class CocoEvaluator:
 
     METRIC_KEYS = ["ap", "ap50", "ap75", "aps", "apm", "apl",
                    "ar1", "ar10", "ar100", "ars", "arm", "arl"]
+    KP_METRIC_KEYS = ["ap", "ap50", "ap75", "apm", "apl",
+                      "ar", "ar50", "ar75", "arm", "arl"]
 
     def __init__(self, coco_gt: COCO, iou_types: Sequence[str] = ("bbox",)):
         self.coco_gt = coco_gt
@@ -286,12 +358,13 @@ class CocoEvaluator:
 
     def update(self, predictions: Dict[int, dict]) -> None:
         """predictions: {image_id: {'boxes' xyxy, 'scores', 'labels'
-        [, 'masks' (N, H, W) binary]}}"""
+        [, 'masks' (N, H, W) binary][, 'keypoints' (N, K, 3)]}}"""
         for img_id, pred in predictions.items():
             boxes = np.asarray(pred["boxes"], np.float64).reshape(-1, 4)
             scores = np.asarray(pred["scores"], np.float64).reshape(-1)
             labels = np.asarray(pred["labels"], np.int64).reshape(-1)
             masks = pred.get("masks")
+            keypoints = pred.get("keypoints")
             # xyxy -> xywh (reference object/coco_eval.py:158-160)
             xywh = boxes.copy()
             xywh[:, 2:] -= xywh[:, :2]
@@ -305,6 +378,10 @@ class CocoEvaluator:
                 if masks is not None:
                     result["segmentation"] = _mask.encode(
                         np.asarray(masks[i], np.uint8))
+                if keypoints is not None:
+                    result["keypoints"] = [
+                        float(v) for v in
+                        np.asarray(keypoints[i], np.float64).reshape(-1)]
                 self.results.append(result)
 
     def synchronize_between_processes(self) -> None:
@@ -332,5 +409,7 @@ class CocoEvaluator:
     def summarize(self) -> Dict[str, Dict[str, float]]:
         out = {}
         for iou_type, ev in self.coco_eval.items():
-            out[iou_type] = dict(zip(self.METRIC_KEYS, ev.stats.tolist()))
+            keys = (self.KP_METRIC_KEYS if iou_type == "keypoints"
+                    else self.METRIC_KEYS)
+            out[iou_type] = dict(zip(keys, ev.stats.tolist()))
         return out

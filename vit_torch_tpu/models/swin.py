@@ -142,6 +142,24 @@ def shifted_window_mask(Hp: int, Wp: int, w: int, shift: int) -> np.ndarray:
 # modules
 # --------------------------------------------------------------------------
 
+def _use_fused_window(Bn: int, N: int, mask) -> bool:
+    """Dispatch to the fused Pallas window-attention kernel.
+
+    Default: on TPU only (interpret mode off-TPU is for tests).  Override
+    with VITX_FUSED_WINDOW=1 (force on, e.g. CPU golden tests) or =0 (off).
+    Requires the window count per image (mask rows) to tile the flattened
+    window-batch."""
+    import os
+    flag = os.environ.get("VITX_FUSED_WINDOW", "")
+    if flag == "0":
+        return False
+    if flag != "1" and jax.default_backend() != "tpu":
+        return False
+    if mask is not None and Bn % mask.shape[0]:
+        return False
+    return True
+
+
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias over (B·nW, w², C) windows."""
 
@@ -165,6 +183,14 @@ class WindowAttention(nn.Module):
                        kernel_init=trunc_normal_init, name="qkv")(x)
         qkv = qkv.reshape(Bn, N, 3, H, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if _use_fused_window(Bn, N, mask):
+            # fused Pallas kernel: scores never touch HBM (the XLA path
+            # materializes a (B·nW, H, N, N) logits tensor between matmuls)
+            from vit_torch_tpu.ops.window_attention import window_attention
+            out = window_attention(q, k, v, bias, mask,
+                                   scale=scale).reshape(Bn, N, C)
+            return nn.Dense(C, dtype=self.dtype,
+                            kernel_init=trunc_normal_init, name="proj")(out)
         # logits in fp32; bias/mask stay rank-deficient so XLA fuses the
         # broadcasts into the softmax instead of materializing a
         # (B·nW, H, N, N) bias tensor

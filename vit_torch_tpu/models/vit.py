@@ -103,3 +103,21 @@ class VisionTransformer(nn.Module):
     @property
     def feature_dim(self) -> int:
         return self.config.embed_dim
+
+
+def vit_flops(config: ViTConfig, image_size: int,
+              image_channels: int = 3) -> int:
+    """Analytic forward FLOPs per image (multiply-adds × 2), same accounting
+    convention as ``swin_flops`` and the reference's per-module ``flops()``
+    methods (``models/swin.py:149-160``)."""
+    p, d = config.patch_size, config.embed_dim
+    n_patch = (image_size // p) ** 2
+    n = n_patch + 1                                   # + CLS token
+    flops = 2 * n_patch * (p * p * image_channels) * d    # patch embed
+    per_block = (
+        2 * n * d * 3 * d                             # qkv projection
+        + 2 * n * n * d * 2                           # QK^T and PV matmuls
+        + 2 * n * d * d                               # output projection
+        + 2 * n * d * int(d * config.mlp_ratio) * 2   # MLP fc1+fc2
+    )
+    return flops + config.depth * per_block

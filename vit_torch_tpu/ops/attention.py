@@ -29,6 +29,37 @@ def _flash_min_seq() -> int:
     return int(os.environ.get("VITX_FLASH_MIN_SEQ", "256"))
 
 
+# --- sequence-parallel (ring attention) dispatch -------------------------
+# When a mesh with a >1 ``seq`` axis is active (set by the sharded train
+# path), dot_product_attention routes plain (bias-free) attention through
+# ring attention so the token axis shards across devices.
+_SEQ_MESH = []
+
+
+class sequence_parallel:
+    """Context manager activating ring-attention dispatch over ``mesh``
+    (trace-time: wrap the model apply inside the jitted step)."""
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+
+    def __enter__(self):
+        _SEQ_MESH.append(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        _SEQ_MESH.pop()
+        return False
+
+
+def _active_seq_mesh():
+    if _SEQ_MESH:
+        mesh = _SEQ_MESH[-1]
+        if mesh is not None and dict(mesh.shape).get("seq", 1) > 1:
+            return mesh
+    return None
+
+
 def _use_pallas(q: jax.Array) -> bool:
     """Heuristic: use the Pallas flash kernel on TPU for long-enough sequences.
 
@@ -63,6 +94,10 @@ def dot_product_attention(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    seq_mesh = _active_seq_mesh()
+    if seq_mesh is not None and bias is None and mask is None:
+        from vit_torch_tpu.ops.ring_attention import ring_attention
+        return ring_attention(q, k, v, seq_mesh, scale=scale)
     if use_pallas is None:
         use_pallas = _use_pallas(q) and bias is None and mask is None
     if use_pallas:

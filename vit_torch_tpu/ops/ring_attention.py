@@ -25,8 +25,11 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
 
-def _local_ring(q, k, v, *, scale: float, axis_name: str, axis_size: int):
-    """Per-shard body: q/k/v are local sequence shards (B, n, H, D)."""
+def _local_ring(q, k, v, *, scale: float, axis_name: str, axis_size: int,
+                kv_len: int):
+    """Per-shard body: q/k/v are local sequence shards (B, n, H, D).
+    ``kv_len`` is the true (unpadded) global sequence length — keys at
+    global positions ≥ kv_len are padding and get masked out."""
     B, nq, H, D = q.shape
     qf = q.astype(jnp.float32)
     o = jnp.zeros((B, H, nq, D), jnp.float32)
@@ -34,9 +37,17 @@ def _local_ring(q, k, v, *, scale: float, axis_name: str, axis_size: int):
     l = jnp.zeros((B, H, nq, 1), jnp.float32)
     kb, vb = k, v
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    my_idx = jax.lax.axis_index(axis_name)
+    padded = kv_len < nq * axis_size
 
     for step in range(axis_size):
         s = jnp.einsum("bqhd,bkhd->bhqk", qf, kb.astype(jnp.float32)) * scale
+        if padded:
+            # kb at this step originated on shard (my_idx - step) mod size
+            src = (my_idx - step) % axis_size
+            col = src * nq + jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, 1, nq), 3)
+            s = jnp.where(col < kv_len, s, -jnp.inf)
         m_blk = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m, m_blk)
         alpha = jnp.exp(m - m_new)
@@ -63,8 +74,17 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, mesh: Mesh,
     if axis_size == 1:
         from vit_torch_tpu.ops.attention import _xla_attention
         return _xla_attention(q, k, v, scale=scale)
+    N = q.shape[1]
+    n_pad = (-N) % axis_size
+    if n_pad:
+        # pad the token axis to an even shard split; padded keys are masked
+        # in-kernel, padded query rows are sliced off below
+        pad = ((0, 0), (0, n_pad), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     spec = P(None, axis_name, None, None)
     fn = functools.partial(_local_ring, scale=float(scale),
-                           axis_name=axis_name, axis_size=int(axis_size))
-    return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
-                     out_specs=spec)(q, k, v)
+                           axis_name=axis_name, axis_size=int(axis_size),
+                           kv_len=int(N))
+    out = shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                    out_specs=spec)(q, k, v)
+    return out[:, :N] if n_pad else out

@@ -46,7 +46,12 @@ def shard_train_fns(
     eval_transform: Optional[Callable] = None,
     rules=DEFAULT_RULES,
 ) -> Tuple[Callable, Callable, TrainState]:
-    """Return (train_step, eval_step, sharded_state) compiled over ``mesh``."""
+    """Return (train_step, eval_step, sharded_state) compiled over ``mesh``.
+
+    A ``seq>1`` mesh axis additionally activates sequence parallelism: the
+    backbones' ``dot_product_attention`` calls dispatch to ring attention
+    (``ops/ring_attention.py``) with the token axis sharded over ``seq``."""
+    from vit_torch_tpu.ops.attention import sequence_parallel
     st_shard = state_shardings(state, mesh, rules)
     b_shard = batch_shardings(mesh)
     repl = NamedSharding(mesh, P())
@@ -64,14 +69,15 @@ def shard_train_fns(
         def loss_fn(params):
             variables = {"params": {**state.frozen, **params},
                          **state.model_state}
-            if mutable:
-                logits, new_model_state = apply_fn(
-                    variables, images, False, rngs={"dropout": rng},
-                    mutable=mutable)
-            else:
-                logits = apply_fn(variables, images, False,
-                                  rngs={"dropout": rng})
-                new_model_state = {}
+            with sequence_parallel(mesh):
+                if mutable:
+                    logits, new_model_state = apply_fn(
+                        variables, images, False, rngs={"dropout": rng},
+                        mutable=mutable)
+                else:
+                    logits = apply_fn(variables, images, False,
+                                      rngs={"dropout": rng})
+                    new_model_state = {}
             loss = cross_entropy_loss(logits, batch["label"], batch["mask"])
             return loss, (logits, new_model_state)
 
@@ -88,7 +94,8 @@ def shard_train_fns(
         images = batch["image"]
         if eval_transform is not None:
             images = eval_transform(images)
-        logits = apply_fn(state.variables(), images, True)
+        with sequence_parallel(mesh):
+            logits = apply_fn(state.variables(), images, True)
         loss = cross_entropy_loss(logits, batch["label"], batch["mask"])
         return _metrics(logits, batch["label"], batch["mask"], loss)
 

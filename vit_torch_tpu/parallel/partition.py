@@ -66,22 +66,41 @@ def partition_specs(params: Any, rules=DEFAULT_RULES) -> Any:
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def validate_divisibility(params: Any, specs: Any, mesh: Mesh) -> Any:
+def validate_divisibility(params: Any, specs: Any, mesh: Mesh,
+                          warn: bool = True) -> Any:
     """Downgrade any spec whose sharded dim doesn't divide by the axis size
-    (e.g. head counts not divisible by the model axis) to replicated."""
-    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    (e.g. head counts not divisible by the model axis) to replicated.
 
-    def check(leaf, spec):
+    Downgrades are **logged** (one warning listing every affected path) so
+    silently losing TP coverage is visible.  Note the kernels are sharded on
+    raw channel dims (``3C``/``4C``), not head counts — Swin's odd head
+    counts (3, 6, 12, 24 with C = 96·2^i) stay divisible for any power-of-2
+    model axis up to 8; GSPMD reshards at the per-head reshape when a shard
+    crosses a head boundary (a perf note, not a correctness issue)."""
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    downgraded = []
+
+    def check(path, leaf, spec):
         for dim, axis in enumerate(spec):
             if axis is None:
                 continue
             size = axis_sizes.get(axis, 1)
             if leaf.shape[dim] % size != 0:
+                downgraded.append(
+                    f"{_path_str(path)}: dim {dim} of {tuple(leaf.shape)} "
+                    f"not divisible by {axis}={size}")
                 return P()
         return spec
 
-    return jax.tree_util.tree_map(check, params, specs,
-                                  is_leaf=lambda x: isinstance(x, P))
+    out = jax.tree_util.tree_map_with_path(
+        check, params, specs, is_leaf=lambda x: isinstance(x, P))
+    if downgraded and warn:
+        import warnings
+        warnings.warn(
+            "tensor-parallel sharding downgraded to replicated for "
+            f"{len(downgraded)} parameter(s):\n  " + "\n  ".join(downgraded),
+            stacklevel=2)
+    return out
 
 
 def named_shardings(params: Any, mesh: Mesh, rules=DEFAULT_RULES) -> Any:
