@@ -341,3 +341,36 @@ def test_cocoeval_keypoints_oks():
                     "keypoints": far}})
     bad.accumulate()
     assert bad.summarize()["keypoints"]["ap"] < 0.01
+
+
+def test_detr_learned_position_embedding():
+    """The learned 50x50 row/col position variant (reference
+    position_encoding.py:52-76) trains params and changes the output."""
+    from vit_torch_tpu.detection.detr import DETR, DETRConfig
+    from vit_torch_tpu.models.swin import SWIN_CONFIGS, SwinTransformer
+
+    def build(pe):
+        backbone = SwinTransformer(SWIN_CONFIGS["swin_test"],
+                                   dtype=jnp.float32, features_only=True,
+                                   name="backbone")
+        cfg = DETRConfig(num_classes=3, num_queries=8, hidden_dim=32,
+                         enc_layers=1, dec_layers=1, ffn_dim=64,
+                         position_embedding=pe)
+        return DETR(cfg, backbone, dtype=jnp.float32)
+
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (1, 32, 32, 3)),
+                    jnp.float32)
+    model = build("learned")
+    variables = model.init(jax.random.PRNGKey(0), x, True)
+    pe_params = variables["params"]["position_embedding"]
+    assert pe_params["row_embed"].shape == (50, 16)
+    assert pe_params["col_embed"].shape == (50, 16)
+    out = model.apply(variables, x, True)
+    assert out["pred_logits"].shape == (1, 8, 4)
+    # zeroing the tables changes the prediction -> the embedding is live
+    zeroed = jax.tree.map(jnp.zeros_like, pe_params)
+    variables2 = {"params": {**variables["params"],
+                             "position_embedding": zeroed}}
+    out2 = model.apply(variables2, x, True)
+    assert not np.allclose(np.asarray(out["pred_logits"]),
+                           np.asarray(out2["pred_logits"]))

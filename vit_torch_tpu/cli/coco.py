@@ -58,6 +58,10 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="skip the epoch-0 validation pass (reference "
                         "object/coco_pipeline.py:518-528)")
     p.add_argument("--num_queries", default=100, type=int)
+    p.add_argument("--position_embedding", default="sine",
+                   choices=["sine", "learned"],
+                   help="DETR position encoding variant (reference "
+                        "object_detr/models/position_encoding.py:12-76)")
     p.add_argument("--enc_layers", default=6, type=int)
     p.add_argument("--dec_layers", default=6, type=int)
     p.add_argument("--hidden_dim", default=256, type=int)
@@ -205,7 +209,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                          num_queries=args.num_queries,
                          hidden_dim=args.hidden_dim,
                          enc_layers=args.enc_layers,
-                         dec_layers=args.dec_layers)
+                         dec_layers=args.dec_layers,
+                         position_embedding=args.position_embedding)
         if args.masks:
             from vit_torch_tpu.detection.segmentation import DETRSegm
             backbone = SwinTransformer(SWIN_CONFIGS[args.backbone],

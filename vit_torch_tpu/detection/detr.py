@@ -132,6 +132,41 @@ class DETRConfig:
     dec_layers: int = 6
     ffn_dim: int = 2048
     aux_loss: bool = True
+    # "sine" (default) or "learned" — the reference's two variants
+    # (object_detr/models/position_encoding.py:12-76)
+    position_embedding: str = "sine"
+
+
+class LearnedPositionEmbedding(nn.Module):
+    """Learned 50×50 row/col embedding tables (reference
+    ``position_encoding.py:52-76``): pos(y, x) = [col_embed[x], row_embed[y]]."""
+
+    hidden_dim: int
+    table_size: int = 50
+
+    @nn.compact
+    def __call__(self, h: int, w: int) -> jnp.ndarray:
+        half = self.hidden_dim // 2
+        init = nn.initializers.uniform(scale=1.0)   # torch uniform_ default
+        row = self.param("row_embed", init, (self.table_size, half),
+                         jnp.float32)
+        col = self.param("col_embed", init, (self.table_size, half),
+                         jnp.float32)
+        pos = jnp.concatenate([
+            jnp.broadcast_to(col[None, :w], (h, w, half)),
+            jnp.broadcast_to(row[:h, None], (h, w, half)),
+        ], axis=-1)
+        return pos.reshape(1, h * w, self.hidden_dim)
+
+
+def make_position_embedding(module: nn.Module, cfg: DETRConfig,
+                            h: int, w: int) -> jnp.ndarray:
+    """Shared sine/learned dispatch for DETR and DETRSegm."""
+    if cfg.position_embedding == "learned":
+        return LearnedPositionEmbedding(cfg.hidden_dim,
+                                        name="position_embedding",
+                                        parent=module)(h, w)
+    return sine_position_embedding(h, w, cfg.hidden_dim)
 
 
 class DETR(nn.Module):
@@ -153,7 +188,7 @@ class DETR(nn.Module):
         B, Hf, Wf, C = feats.shape
         src = nn.Dense(cfg.hidden_dim, dtype=self.dtype, name="input_proj")(
             feats.reshape(B, Hf * Wf, C))
-        pos = sine_position_embedding(Hf, Wf, cfg.hidden_dim).astype(src.dtype)
+        pos = make_position_embedding(self, cfg, Hf, Wf).astype(src.dtype)
 
         memory = src
         for i in range(cfg.enc_layers):

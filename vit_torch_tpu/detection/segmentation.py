@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_torch_tpu.detection.detr import (
-    BoxMLP, DecoderLayer, DETRConfig, EncoderLayer, sine_position_embedding,
+    BoxMLP, DecoderLayer, DETRConfig, EncoderLayer, make_position_embedding,
+    sine_position_embedding,
 )
 from vit_torch_tpu.models.layers import Dtype, LayerNorm, trunc_normal_init
 
@@ -117,7 +118,7 @@ class DETRSegm(nn.Module):
         B, Hf, Wf, C = feats.shape
         src = nn.Dense(cfg.hidden_dim, dtype=self.dtype, name="input_proj")(
             feats.reshape(B, Hf * Wf, C))
-        pos = sine_position_embedding(Hf, Wf, cfg.hidden_dim).astype(src.dtype)
+        pos = make_position_embedding(self, cfg, Hf, Wf).astype(src.dtype)
         memory = src
         for i in range(cfg.enc_layers):
             memory = EncoderLayer(cfg.num_heads, cfg.ffn_dim,

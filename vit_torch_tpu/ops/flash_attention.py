@@ -56,8 +56,10 @@ def _round_up(x: int, m: int) -> int:
 # --------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
-    q = q_ref[0, 0].astype(jnp.float32)          # (bq, D)
-    k = k_ref[0, 0].astype(jnp.float32)          # (N, D)
+    # matmul inputs stay in the storage dtype (bf16 in production — full-rate
+    # MXU) with fp32 accumulation; softmax stats are fp32
+    q = q_ref[0, 0]                              # (bq, D)
+    k = k_ref[0, 0]                              # (N, D)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     if kv_len < k.shape[0]:                      # mask padded keys (static)
@@ -66,11 +68,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
-    p = p / l
     v = v_ref[0, 0]                              # (N, D)
-    o_ref[0, 0] = jax.lax.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    # normalize AFTER the PV matmul: an (bq, D) divide instead of (bq, N)
+    o = jax.lax.dot(p.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -90,15 +92,12 @@ def _recompute_p(q, k, scale, kv_len):
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, *,
                    scale: float, kv_len: int):
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
-    p = _recompute_p(q, k, scale, kv_len)                       # (bq, N)
+    q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
+    p = _recompute_p(q, k, scale, kv_len)                       # (bq, N) f32
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)  # (bq, N)
     di = jnp.sum(p * dp, axis=1, keepdims=True)                 # (bq, 1)
-    ds = p * (dp - di) * scale                                  # (bq, N)
+    ds = (p * (dp - di) * scale).astype(k.dtype)                # (bq, N)
     dq_ref[0, 0] = jax.lax.dot(
         ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
 
@@ -108,18 +107,15 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     """Single-block backward (block_q == padded seq): computes P once and
     emits dq/dk/dv in one pass — 6 matmuls + 1 softmax instead of the 9 + 2
     of the split dq/dkv kernels."""
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
-    p = _recompute_p(q, k, scale, kv_len)                       # (N, N)
+    q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
+    p = _recompute_p(q, k, scale, kv_len)                       # (N, N) f32
     dv_ref[0, 0] = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())),
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dv_ref.dtype)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     di = jnp.sum(p * dp, axis=1, keepdims=True)
-    ds = p * (dp - di) * scale
+    ds = (p * (dp - di) * scale).astype(q.dtype)
     dq_ref[0, 0] = jax.lax.dot(
         ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
     dk_ref[0, 0] = jax.lax.dot_general(
@@ -136,18 +132,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, dk_ref, dv_ref,
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
-    p = _recompute_p(q, k, scale, kv_len)                       # (bq, N)
+    q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
+    p = _recompute_p(q, k, scale, kv_len)                       # (bq, N) f32
     # dV += Pᵀ dO
-    dv_acc[...] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     di = jnp.sum(p * dp, axis=1, keepdims=True)
-    ds = p * (dp - di) * scale                                  # (bq, N)
+    ds = (p * (dp - di) * scale).astype(q.dtype)                # (bq, N)
     # dK += dSᵀ Q
     dk_acc[...] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
@@ -270,15 +264,17 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     Differentiable (custom VJP with analytic Pallas backward kernels).
 
     ``block_q=None`` picks the measured-fastest tiling: one q-block per
-    (batch, head) program when the whole padded sequence fits VMEM budget
-    (≤1024 tokens: 1.6× over 128-blocks on v5e — fewer, fatter programs),
-    else 512-token blocks.
+    (batch, head) program when the whole sequence fits VMEM budget
+    (≤1100 tokens: 1.6× over 128-blocks on v5e — fewer, fatter programs),
+    else 512-token blocks.  The single-block path runs on the **unpadded**
+    sequence (block dims equal to the array dims satisfy the TPU tiling
+    rule), saving a full pad+slice round-trip through HBM (~25% of kernel
+    wall time at ViT-B/8 224² shapes).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if block_q is None:
-        n_pad = _round_up(q.shape[1], LANE)
-        block_q = n_pad if n_pad <= 1024 else 512
+        block_q = q.shape[1] if q.shape[1] <= 1100 else 512
     # (B, N, H, D) -> (B, H, N, D) for per-(batch, head) kernels
     qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
     out = _attention(qt, kt, vt, float(scale), int(block_q))

@@ -75,9 +75,11 @@ def _pick_window_block(nW_img: int, Bn: int, N: int, D: int,
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
                 scale: float, has_mask: bool):
-    q = q_ref[:, 0].astype(jnp.float32)            # (WB, N, D)
-    k = k_ref[:, 0].astype(jnp.float32)
-    v = v_ref[:, 0].astype(jnp.float32)
+    # matmul inputs stay in the storage dtype (bf16 → full-rate MXU);
+    # softmax stats are fp32 via the accumulate dtype
+    q = q_ref[:, 0]                                # (WB, N, D)
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale            # (WB, N, N)
@@ -86,10 +88,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
         s = s + mask_ref[...].astype(jnp.float32)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[:, 0] = jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    # normalize AFTER the PV matmul: (WB, N, D) divide, not (WB, N, N)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[:, 0] = (o / l).astype(o_ref.dtype)
 
 
 def _recompute_p(q, k, bias, mask, scale, has_mask):
@@ -113,27 +117,25 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
     def _init():
         dbias_acc[...] = jnp.zeros_like(dbias_acc)
 
-    q = q_ref[:, 0].astype(jnp.float32)
-    k = k_ref[:, 0].astype(jnp.float32)
-    v = v_ref[:, 0].astype(jnp.float32)
-    do = do_ref[:, 0].astype(jnp.float32)
+    q, k, v, do = q_ref[:, 0], k_ref[:, 0], v_ref[:, 0], do_ref[:, 0]
     bias = bias_ref[0].astype(jnp.float32)
     mask = mask_ref[...].astype(jnp.float32) if has_mask else None
-    p = _recompute_p(q, k, bias, mask, scale, has_mask)        # (WB, N, N)
+    p = _recompute_p(q, k, bias, mask, scale, has_mask)   # (WB, N, N) f32
     # dV = Pᵀ dO (per window)
     dv_ref[:, 0] = jax.lax.dot_general(
-        p, do, (((1,), (1,)), ((0,), (0,))),
+        p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(dv_ref.dtype)
     dp = jax.lax.dot_general(
         do, v, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                    # (WB, N, N)
     di = jnp.sum(p * dp, axis=-1, keepdims=True)
     ds = p * (dp - di)                       # d(logits), before the q-scale
+    ds_lo = ds.astype(q.dtype)
     dq_ref[:, 0] = (jax.lax.dot_general(
-        ds, k, (((2,), (1,)), ((0,), (0,))),
+        ds_lo, k, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
     dk_ref[:, 0] = (jax.lax.dot_general(
-        ds, q, (((1,), (1,)), ((0,), (0,))),
+        ds_lo, q, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
     dbias_acc[...] += jnp.sum(ds, axis=0)
 
