@@ -253,3 +253,49 @@ def test_faster_rcnn_cli_swin_backbone(tmp_path):
                    "--stats_fp", fp])
     assert record["telem"]["completed"] is True
     assert np.isfinite(record["logs"][0]["train"]["loss_total"])
+
+
+def test_random_zoom_crop_semantics():
+    from vit_torch_tpu.detection.transforms import random_zoom_crop
+    S = 32
+    rng = jax.random.PRNGKey(2)
+    img = jnp.zeros((3, S, S, 3)).at[:, 8:16, 8:16, :].set(1.0)
+    boxes = jnp.asarray([[[8.0, 8, 16, 16]]] * 3)
+    box_mask = jnp.ones((3, 1))
+    masks = jnp.zeros((3, 1, S, S)).at[:, 0, 8:16, 8:16].set(1)
+
+    # prob=0: exact identity
+    ii, ib, im_mask, im = random_zoom_crop(rng, img, boxes, box_mask, S,
+                                           masks, prob=0.0)
+    np.testing.assert_array_equal(np.asarray(ii), np.asarray(img))
+    np.testing.assert_array_equal(np.asarray(ib), np.asarray(boxes))
+    np.testing.assert_array_equal(np.asarray(im_mask), np.asarray(box_mask))
+
+    # prob=1: boxes stay aligned with the zoomed content
+    zi, zb, zm_mask, zm = random_zoom_crop(rng, img, boxes, box_mask, S,
+                                           masks, prob=1.0)
+    zi, zb, zm_mask, zm = map(np.asarray, (zi, zb, zm_mask, zm))
+    for b in range(3):
+        if zm_mask[b, 0] == 0:
+            continue
+        x1, y1, x2, y2 = zb[b, 0]
+        # the bright square's pixels must fall (mostly) inside the new box
+        ys, xs = np.nonzero(zi[b, :, :, 0] > 0.5)
+        if len(xs) == 0:
+            continue
+        assert xs.min() >= x1 - 2 and xs.max() <= x2 + 2
+        assert ys.min() >= y1 - 2 and ys.max() <= y2 + 2
+        # instance mask tracks the image content
+        mys, mxs = np.nonzero(zm[b, 0])
+        if len(mxs):
+            assert abs(mxs.min() - xs.min()) <= 2
+            assert abs(mys.min() - ys.min()) <= 2
+
+
+def test_detr_cli_aug_crop(tmp_path):
+    from vit_torch_tpu.cli.coco import main
+    fp = str(tmp_path / "stats.json")
+    record = main(["--test", "--epochs", "1", "--aug_crop",
+                   "--no_initial_eval", "--stats_fp", fp])
+    assert record["telem"]["completed"] is True
+    assert np.isfinite(record["logs"][0]["train"]["loss_total"])

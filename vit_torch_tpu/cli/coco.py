@@ -54,6 +54,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_hflip", action="store_true",
                    help="disable train-time random horizontal flip "
                         "(reference object/transforms.py:7-31)")
+    p.add_argument("--aug_crop", action="store_true",
+                   help="DETR train-time RandomSelect zoom-crop (reference "
+                        "object_detr/datasets/transforms.py:242-260)")
     p.add_argument("--no_initial_eval", action="store_true",
                    help="skip the epoch-0 validation pass (reference "
                         "object/coco_pipeline.py:518-528)")
@@ -230,6 +233,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                                    num_classes=train_ds.num_classes,
                                    lr=args.lr, masks=args.masks,
                                    augment=not args.no_hflip,
+                                   aug_crop=args.aug_crop,
                                    weight_decay=args.weight_decay)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"model: {n_params / 1e6:.1f}M params ({args.head})")

@@ -29,18 +29,21 @@ from vit_torch_tpu.detection.boxes import xyxy_to_cxcywh
 from vit_torch_tpu.detection.coco_eval import CocoEvaluator
 from vit_torch_tpu.detection.detr import detr_losses, postprocess
 from vit_torch_tpu.detection.matcher import cost_matrices, hungarian_match
-from vit_torch_tpu.detection.transforms import random_hflip
+from vit_torch_tpu.detection.transforms import random_hflip, random_zoom_crop
 
 
 def _prep_targets(batch: Dict[str, np.ndarray], image_size: int,
-                  boxes: Optional[jnp.ndarray] = None):
+                  boxes: Optional[jnp.ndarray] = None,
+                  box_mask: Optional[jnp.ndarray] = None):
     if boxes is None:
         boxes = jnp.asarray(batch["boxes"])
+    if box_mask is None:
+        box_mask = jnp.asarray(batch["box_mask"])
     boxes = boxes / image_size                              # normalize to [0,1]
     return {
         "labels": jnp.asarray(batch["labels"]),
         "boxes_cxcywh": xyxy_to_cxcywh(boxes),
-        "box_mask": jnp.asarray(batch["box_mask"]),
+        "box_mask": box_mask,
         "mask": jnp.asarray(batch["mask"]),
     }
 
@@ -91,12 +94,14 @@ class DetectionTrainer:
                  lr: float = 1e-4, weight_decay: float = 1e-4,
                  warmup_steps: int = 0, grad_clip: float = 0.1,
                  masks: bool = False, augment: bool = False,
+                 aug_crop: bool = False,
                  norm_values: Optional[dict] = None) -> None:
         self.model = model
         self.image_size = image_size
         self.num_classes = num_classes
         self.masks = masks
         self.augment = augment
+        self.aug_crop = aug_crop
         self.rng = jax.random.PRNGKey(0)
         self.norm = norm_values or NORM_VALUES["imagenet"]
         self.tx = optax.chain(
@@ -116,25 +121,33 @@ class DetectionTrainer:
                                           self.num_classes)
         norm = self.norm
         augment = self.augment
+        aug_crop = self.aug_crop
 
         def _augmented(batch, rng, with_masks=False):
-            """Flip images+boxes(+masks) — bernoulli(rng) is deterministic in
-            the key, so forward_costs and train_step see the same flip."""
+            """Flip (+ optional zoom-crop) images+boxes(+masks) — the random
+            draws are deterministic in the key, so forward_costs and
+            train_step see the same augmentation."""
             images = jnp.asarray(batch["image"])
             boxes = jnp.asarray(batch["boxes"])
+            box_mask = jnp.asarray(batch["box_mask"])
             masks = (jnp.asarray(batch["gt_masks"])
                      if with_masks and "gt_masks" in batch else None)
             if augment:
-                images, boxes, masks = random_hflip(rng, images, boxes,
+                r_flip, r_crop = jax.random.split(rng)
+                images, boxes, masks = random_hflip(r_flip, images, boxes,
                                                     image_size, masks)
-            return images, boxes, masks
+                if aug_crop:
+                    images, boxes, box_mask, masks = random_zoom_crop(
+                        r_crop, images, boxes, box_mask, image_size, masks)
+            return images, boxes, box_mask, masks
 
         @jax.jit
         def forward_costs(params, batch, rng):
-            raw, boxes, _ = _augmented(batch, rng)
+            raw, boxes, box_mask, _ = _augmented(batch, rng)
             images = normalize(raw, **norm)
             outputs = model.apply({"params": params}, images, True)
-            targets = _prep_targets(batch, image_size, boxes=boxes)
+            targets = _prep_targets(batch, image_size, boxes=boxes,
+                                    box_mask=box_mask)
             layers = outputs.get("aux_outputs", []) + [outputs]
             costs = jnp.stack([
                 cost_matrices(o["pred_logits"], o["pred_boxes"],
@@ -145,9 +158,10 @@ class DetectionTrainer:
 
         @jax.jit
         def train_step(params, opt_state, batch, assign, rng):
-            raw, boxes, gt_masks = _augmented(batch, rng,
-                                              with_masks=self.masks)
-            targets = _prep_targets(batch, image_size, boxes=boxes)
+            raw, boxes, box_mask, gt_masks = _augmented(
+                batch, rng, with_masks=self.masks)
+            targets = _prep_targets(batch, image_size, boxes=boxes,
+                                    box_mask=box_mask)
 
             def loss_fn(p):
                 images = normalize(raw, **norm)

@@ -24,6 +24,69 @@ import jax
 import jax.numpy as jnp
 
 
+def random_zoom_crop(rng: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
+                     box_mask: jnp.ndarray, image_size: int,
+                     masks: Optional[jnp.ndarray] = None,
+                     scale_range: Tuple[float, float] = (0.6, 1.0),
+                     prob: float = 0.5):
+    """Per-sample RandomSelect between identity and a random crop+resize —
+    the TPU equivalent of the reference DETR train transforms
+    (``object_detr/datasets/transforms.py:242-260``: RandomSelect of resize
+    vs RandomSizeCrop→resize).
+
+    A window of side ``s·S`` (s ~ U[scale_range]) at a random offset is
+    resampled to the full ``S×S`` canvas with ``jax.image.scale_and_translate``
+    (continuous zoom — no dynamic shapes).  Boxes are remapped and clipped;
+    boxes left degenerate by the crop have their ``box_mask`` zeroed.
+    Returns (images, boxes, box_mask, masks).
+    """
+    B = images.shape[0]
+    S = float(image_size)
+    r_apply, r_scale, r_off = jax.random.split(rng, 3)
+    apply = jax.random.bernoulli(r_apply, prob, (B,))
+    s = jax.random.uniform(r_scale, (B,), minval=scale_range[0],
+                           maxval=scale_range[1])
+    w = s * S                                       # window side, pixels
+    off = jax.random.uniform(r_off, (B, 2), maxval=1.0) * (S - w[:, None])
+    zoom = S / w                                    # resample factor
+
+    def resample_one(img, z, oy, ox, method):
+        out_shape = (image_size, image_size) + img.shape[2:]
+        return jax.image.scale_and_translate(
+            img.astype(jnp.float32), out_shape, (0, 1),
+            jnp.asarray([z, z]), jnp.asarray([-oy * z, -ox * z]),
+            method=method)
+
+    zoomed = jax.vmap(lambda im, z, o: resample_one(im, z, o[0], o[1],
+                                                    "linear"))(
+        images, zoom, off)
+    images = jnp.where(apply[:, None, None, None],
+                       zoomed.astype(images.dtype), images)
+
+    # boxes: shift by the window origin, scale, clip to the canvas
+    oxy = off[:, ::-1][:, None, :]                  # (B, 1, [ox, oy])
+    zb = zoom[:, None, None]
+    new_boxes = jnp.clip(
+        (boxes - jnp.concatenate([oxy, oxy], -1)) * zb, 0.0, S)
+    bw = new_boxes[..., 2] - new_boxes[..., 0]
+    bh = new_boxes[..., 3] - new_boxes[..., 1]
+    survives = (bw > 1.0) & (bh > 1.0)
+    boxes = jnp.where(apply[:, None, None], new_boxes, boxes)
+    box_mask = jnp.where(apply[:, None],
+                         box_mask * survives.astype(box_mask.dtype),
+                         box_mask)
+
+    if masks is not None:
+        def mask_one(m, z, o):
+            # (N, S, S) instance masks: resample each plane, re-threshold
+            res = jax.vmap(lambda p: resample_one(p[..., None], z, o[0],
+                                                  o[1], "linear")[..., 0])(m)
+            return (res > 0.5).astype(m.dtype)
+        zm = jax.vmap(mask_one)(masks, zoom, off)
+        masks = jnp.where(apply[:, None, None, None], zm, masks)
+    return images, boxes, box_mask, masks
+
+
 def random_hflip(rng: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
                  image_size: int, masks: Optional[jnp.ndarray] = None,
                  prob: float = 0.5,
