@@ -374,3 +374,20 @@ def test_detr_learned_position_embedding():
     out2 = model.apply(variables2, x, True)
     assert not np.allclose(np.asarray(out["pred_logits"]),
                            np.asarray(out2["pred_logits"]))
+
+
+def test_detection_checkpoint_resume(tmp_path):
+    """Detection training saves orbax checkpoints and resumes at the next
+    epoch (net-new vs the reference's dead --resume flag)."""
+    from vit_torch_tpu.cli.coco import main
+    ck = str(tmp_path / "ck")
+    fp1 = str(tmp_path / "s1.json")
+    fp2 = str(tmp_path / "s2.json")
+    r1 = main(["--test", "--head", "faster_rcnn", "--epochs", "1",
+               "--no_initial_eval", "--ckpt_dir", ck, "--stats_fp", fp1])
+    assert r1["telem"]["completed"]
+    r2 = main(["--test", "--head", "faster_rcnn", "--epochs", "2",
+               "--no_initial_eval", "--resume", ck, "--ckpt_dir", ck,
+               "--stats_fp", fp2])
+    # epoch 0 already done -> only epoch 1 ran in the resumed process
+    assert [row["epoch"] for row in r2["logs"]] == [1]

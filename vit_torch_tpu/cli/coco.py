@@ -60,6 +60,12 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_initial_eval", action="store_true",
                    help="skip the epoch-0 validation pass (reference "
                         "object/coco_pipeline.py:518-528)")
+    p.add_argument("--ckpt_dir", default="", type=str,
+                   help="orbax checkpoint dir (net-new: the reference has "
+                        "no detection checkpointing; its --resume is dead, "
+                        "object_detr/main.py:107-109)")
+    p.add_argument("--resume", default="", type=str,
+                   help="resume training from this checkpoint dir")
     p.add_argument("--num_queries", default=100, type=int)
     p.add_argument("--position_embedding", default="sine",
                    choices=["sine", "learned"],
@@ -262,7 +268,26 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     if args.masks:
         eval_kw.update(iou_types=("bbox", "segm"), panoptic=True)
 
-    if not args.no_initial_eval:
+    def _ckpt_state():
+        return {"params": trainer.params, "opt_state": trainer.opt_state,
+                "model_state": getattr(trainer, "model_state", {}),
+                "rng": trainer.rng}
+
+    start_epoch = 0
+    if args.resume:
+        from vit_torch_tpu.checkpoint.orbax_io import (
+            latest_step, restore_checkpoint)
+        restored = restore_checkpoint(args.resume, _ckpt_state())
+        trainer.params = restored["params"]
+        trainer.opt_state = restored["opt_state"]
+        if restored.get("model_state"):
+            trainer.model_state = restored["model_state"]
+        trainer.rng = restored["rng"]
+        last = latest_step(args.resume)
+        start_epoch = (last if last is not None else -1) + 1
+        print(f"resumed from {args.resume} at epoch {start_epoch}")
+
+    if not args.no_initial_eval and start_epoch == 0:
         # initial validation before any training (reference
         # object/coco_pipeline.py:518-528)
         metrics = trainer.evaluate(val_loader, val_ds.coco, **eval_kw)
@@ -271,7 +296,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         print(f"initial: AP {ap0.get('ap', 0):.4f}")
         save()
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         # StepLR(lr_step, lr_gamma) decay, reference coco_pipeline.py:464-476
         sched_lr = args.lr * args.lr_gamma ** (epoch // max(args.lr_step, 1))
@@ -293,6 +318,9 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         if "panoptic" in metrics:
             line += f" PQ {metrics['panoptic'].get('pq', 0):.4f}"
         print(line)
+        if args.ckpt_dir:
+            from vit_torch_tpu.checkpoint.orbax_io import save_checkpoint
+            save_checkpoint(args.ckpt_dir, _ckpt_state(), epoch)
 
     record["telem"]["completed"] = True
     save()
