@@ -1,0 +1,198 @@
+"""Golden tests for the fully-fused window-block kernel
+(``ops/window_block.py``) and the fused MLP kernel (``ops/fused_mlp.py``)
+against their XLA references — CPU interpret mode, fp32, tight tolerances.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+# --------------------------------------------------------------------------
+# window_block
+# --------------------------------------------------------------------------
+
+def _wb_inputs(Bn=8, N=49, C=128, H=4, nW=4, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(0, 1, (Bn, N, C)), jnp.float32)
+    w_qkv = jnp.asarray(rng.normal(0, 0.05, (C, 3 * C)), jnp.float32)
+    b_qkv = jnp.asarray(rng.normal(0, 0.05, (3 * C,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0, 0.5, (H, N, N)), jnp.float32)
+    mask = jnp.asarray(
+        np.where(rng.random((nW, N, N)) > 0.7, -100.0, 0.0), jnp.float32)
+    w_proj = jnp.asarray(rng.normal(0, 0.05, (C, C)), jnp.float32)
+    b_proj = jnp.asarray(rng.normal(0, 0.05, (C,)), jnp.float32)
+    return x, w_qkv, b_qkv, bias, mask, w_proj, b_proj
+
+
+def _wb_ref(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, H):
+    Bn, N, C = x.shape
+    D = C // H
+    qkv = (x @ w_qkv + b_qkv).reshape(Bn, N, 3, H, D)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * D ** -0.5
+    logits = logits + bias[None]
+    if mask is not None:
+        nW = mask.shape[0]
+        logits = (logits.reshape(Bn // nW, nW, H, N, N)
+                  + mask[None, :, None]).reshape(Bn, H, N, N)
+    w = jax.nn.softmax(logits, -1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(Bn, N, C)
+    return out @ w_proj + b_proj
+
+
+@pytest.mark.parametrize("masked", [True, False])
+def test_window_block_forward(masked):
+    from vit_torch_tpu.ops.window_block import window_block, fits
+    x, w_qkv, b_qkv, bias, mask, w_proj, b_proj = _wb_inputs()
+    H = 4
+    m = mask if masked else None
+    assert fits(x.shape[0], x.shape[1], x.shape[2], H,
+                mask.shape[0] if masked else None)
+    ours = window_block(x, w_qkv, b_qkv, bias, m, w_proj, b_proj,
+                        num_heads=H)
+    ref = _wb_ref(x, w_qkv, b_qkv, bias, m, w_proj, b_proj, H)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_window_block_no_bias():
+    from vit_torch_tpu.ops.window_block import window_block
+    x, w_qkv, _, bias, mask, w_proj, _ = _wb_inputs(seed=1)
+    ours = window_block(x, w_qkv, None, bias, mask, w_proj, None,
+                        num_heads=4)
+    zq = jnp.zeros((3 * x.shape[2],), x.dtype)
+    zp = jnp.zeros((x.shape[2],), x.dtype)
+    ref = _wb_ref(x, w_qkv, zq, bias, mask, w_proj, zp, 4)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_window_block_backward():
+    from vit_torch_tpu.ops.window_block import window_block
+    x, w_qkv, b_qkv, bias, mask, w_proj, b_proj = _wb_inputs(Bn=4, N=16,
+                                                             nW=2, seed=2)
+    H = 4
+
+    def loss_ours(x, w_qkv, b_qkv, bias, w_proj, b_proj):
+        return jnp.sum(window_block(x, w_qkv, b_qkv, bias, mask, w_proj,
+                                    b_proj, num_heads=H) ** 2)
+
+    def loss_ref(x, w_qkv, b_qkv, bias, w_proj, b_proj):
+        return jnp.sum(_wb_ref(x, w_qkv, b_qkv, bias, mask, w_proj,
+                               b_proj, H) ** 2)
+
+    args = (x, w_qkv, b_qkv, bias, w_proj, b_proj)
+    go = jax.grad(loss_ours, argnums=tuple(range(6)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    names = ("dx", "dw_qkv", "db_qkv", "dbias", "dw_proj", "db_proj")
+    for name, a, b in zip(names, go, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3, err_msg=name)
+
+
+def test_window_block_fits_gates():
+    """Shape gates: lane alignment, mask tiling, the VMEM static budget
+    (swin stage-4 weights + 32-head bias table must NOT fit)."""
+    from vit_torch_tpu.ops.window_block import fits
+    assert not fits(8, 49, 96, 3, None)          # C not lane-aligned
+    assert not fits(7, 49, 128, 4, 4)            # Bn not tiled by nW
+    assert fits(2048, 144, 128, 4, 64)           # swin_base_384 stage 1
+    assert not fits(32, 144, 1024, 32, 1)        # stage 4: static budget
+
+
+def test_window_block_in_swin_model(monkeypatch):
+    """Full Swin forward: fused window-block path (interpret) matches the
+    pure-XLA path on a wide config (C=128, shifted masks active)."""
+    from vit_torch_tpu.models.swin import SwinConfig, SwinTransformer
+    cfg = SwinConfig(embed_dim=128, depths=(2,), num_heads=(4,),
+                     window_size=4, drop_path_rate=0.0)
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (2, 32, 32, 3)),
+                    jnp.float32)
+    model = SwinTransformer(cfg, dtype=jnp.float32)
+    monkeypatch.setenv("VITX_FUSED_WINDOW", "0")
+    monkeypatch.setenv("VITX_FUSED_BLOCK", "0")
+    monkeypatch.setenv("VITX_FUSED_MLP", "0")
+    params = model.init(jax.random.PRNGKey(0), x, True)["params"]
+    ref = model.apply({"params": params}, x, True)
+    monkeypatch.setenv("VITX_FUSED_WINDOW", "")
+    monkeypatch.setenv("VITX_FUSED_BLOCK", "1")
+    ours = model.apply({"params": params}, x, True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=5e-5, rtol=2e-4)
+
+
+# --------------------------------------------------------------------------
+# fused_mlp
+# --------------------------------------------------------------------------
+
+def _mlp_inputs(T=392, C=128, Hd=512, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(0, 1, (T, C)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(0, 0.05, (C, Hd)), jnp.float32)
+    b1 = jnp.asarray(rng.normal(0, 0.05, (Hd,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(0, 0.05, (Hd, C)), jnp.float32)
+    b2 = jnp.asarray(rng.normal(0, 0.05, (C,)), jnp.float32)
+    return x, w1, b1, w2, b2
+
+
+def _mlp_ref(x, w1, b1, w2, b2):
+    h = x @ w1 + b1
+    h = jax.nn.gelu(h, approximate=False)
+    return h @ w2 + b2
+
+
+def test_fused_mlp_forward():
+    from vit_torch_tpu.ops.fused_mlp import fused_mlp, fits
+    x, w1, b1, w2, b2 = _mlp_inputs()
+    assert fits(x.shape[0], 128, 512)
+    ours = fused_mlp(x, w1, b1, w2, b2)
+    ref = _mlp_ref(x, w1, b1, w2, b2)
+    # the kernel's polynomial erf is accurate to ~2e-6 abs on gelu
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_mlp_leading_dims_and_out_dim():
+    from vit_torch_tpu.ops.fused_mlp import fused_mlp
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (2, 14, 14, 128)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(0, 0.05, (128, 256)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(0, 0.05, (256, 384)), jnp.float32)
+    ours = fused_mlp(x, w1, None, w2, None)
+    assert ours.shape == (2, 14, 14, 384)
+    ref = _mlp_ref(x, w1, jnp.zeros(256), w2, jnp.zeros(384))
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_mlp_backward():
+    from vit_torch_tpu.ops.fused_mlp import fused_mlp
+    x, w1, b1, w2, b2 = _mlp_inputs(T=56, seed=4)
+    go = jax.grad(lambda *a: jnp.sum(fused_mlp(*a) ** 2),
+                  argnums=tuple(range(5)))(x, w1, b1, w2, b2)
+    gr = jax.grad(lambda *a: jnp.sum(_mlp_ref(*a) ** 2),
+                  argnums=tuple(range(5)))(x, w1, b1, w2, b2)
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2"), go, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3, err_msg=name)
+
+
+def test_fused_mlp_in_mlp_module(monkeypatch):
+    """Mlp module: fused path (interpret) matches the XLA path, params keep
+    the Dense tree layout (fc1/kernel …)."""
+    from vit_torch_tpu.models.layers import Mlp
+    x = jnp.asarray(np.random.default_rng(5).normal(0, 1, (4, 49, 128)),
+                    jnp.float32)
+    m = Mlp(hidden_dim=256, dtype=jnp.float32)
+    monkeypatch.setenv("VITX_FUSED_MLP", "0")
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    assert set(params) == {"fc1", "fc2"}
+    assert set(params["fc1"]) == {"kernel", "bias"}
+    ref = m.apply({"params": params}, x)
+    monkeypatch.setenv("VITX_FUSED_MLP", "1")
+    ours = m.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

@@ -34,6 +34,10 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--head", default="detr", choices=["detr", "faster_rcnn"],
                    help="detection head: DETR set-prediction (object_detr/) "
                         "or FasterRCNN two-stage (object/)")
+    p.add_argument("--keypoints", action="store_true",
+                   help="add a Keypoint R-CNN head (faster_rcnn only) and "
+                        "score the keypoints iou_type (reference "
+                        "object/coco_utils.py:222-251 get_coco_kp)")
     p.add_argument("--masks", action="store_true",
                    help="train the DETR instance-mask head (DETRsegm)")
     p.add_argument("--image_size", default=512, type=int)
@@ -122,10 +126,13 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     from vit_torch_tpu.models import VisionModelZoo
     from vit_torch_tpu.utils.stats import default_hardware
 
+    if args.keypoints and args.head != "faster_rcnn":
+        raise SystemExit("--keypoints requires --head faster_rcnn")
     if args.test:
         import tempfile
         tmp = tempfile.mkdtemp(prefix="coco_smoke_")
-        img_dir, ann_file = make_synthetic_coco(tmp, n_images=16, size=64)
+        img_dir, ann_file = make_synthetic_coco(tmp, n_images=16, size=64,
+                                                keypoints=args.keypoints)
         train_dirs = val_dirs = (img_dir, ann_file)
         args.epochs = min(args.epochs, 2)
         args.bs = min(args.bs, 4)
@@ -153,7 +160,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     train_ds = CocoDetectionDataset(*train_dirs, image_size=args.image_size,
                                     max_boxes=args.max_boxes,
                                     limit=args.limit_train, category_ids=cats,
-                                    load_masks=args.masks)
+                                    load_masks=args.masks,
+                                    load_keypoints=args.keypoints)
     val_ds = CocoDetectionDataset(*val_dirs, image_size=args.image_size,
                                   max_boxes=args.max_boxes,
                                   limit=args.limit_test, category_ids=cats)
@@ -190,6 +198,12 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         sizes = tuple(32.0 * 2 ** i for i in range(n_stages))
         if args.test:
             sizes = tuple(8.0 * 2 ** i for i in range(n_stages))
+        kp_kw = {}
+        if args.keypoints:
+            kp_kw = dict(num_keypoints=train_ds.num_keypoints,
+                         kp_conv_channels=((64,) * 2 if args.test
+                                           else (512,) * 8),
+                         kp_rois=16 if args.test else 128)
         cfg = FasterRCNNConfig(
             num_classes=train_ds.num_classes, image_size=args.image_size,
             strides=strides, anchor_sizes=sizes,
@@ -197,7 +211,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
             rpn_pre_nms_topk=128 if args.test else 1000,
             rpn_batch=64 if args.test else 256,
             roi_batch=32 if args.test else 128,
-            detections=20 if args.test else 100)
+            detections=20 if args.test else 100, **kp_kw)
         model = FasterRCNN(cfg, backbone, dtype=dtype)
         variables = model.init(jax.random.PRNGKey(0), dummy,
                                deterministic=True)
@@ -206,8 +220,13 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         if args.torch_ckpt:
             params, model_state = _load_pretrained_backbone(
                 args.torch_ckpt, family, params, model_state)
+        kp_flip = None
+        if args.keypoints and train_ds.num_keypoints == 17:
+            from vit_torch_tpu.detection.keypoint import COCO_KP_FLIP_INDS
+            kp_flip = COCO_KP_FLIP_INDS
         trainer = FasterRCNNTrainer(model, params, cfg=cfg, lr=args.lr,
-                                    augment=not args.no_hflip)
+                                    augment=not args.no_hflip,
+                                    kp_flip_inds=kp_flip)
         trainer.model_state = model_state
     else:
         if args.backbone not in SWIN_CONFIGS:
@@ -267,6 +286,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     eval_kw = dict(label_to_cat=val_ds.label_to_cat)
     if args.masks:
         eval_kw.update(iou_types=("bbox", "segm"), panoptic=True)
+    if args.keypoints:
+        eval_kw.update(iou_types=("bbox", "keypoints"))
 
     def _ckpt_state():
         return {"params": trainer.params, "opt_state": trainer.opt_state,
@@ -315,6 +336,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                 f"AP {ap.get('ap', 0):.4f} AP50 {ap.get('ap50', 0):.4f}")
         if "segm" in metrics:
             line += f" segmAP {metrics['segm'].get('ap', 0):.4f}"
+        if "keypoints" in metrics:
+            line += f" kpAP {metrics['keypoints'].get('ap', 0):.4f}"
         if "panoptic" in metrics:
             line += f" PQ {metrics['panoptic'].get('pq', 0):.4f}"
         print(line)

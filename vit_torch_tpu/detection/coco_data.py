@@ -44,12 +44,23 @@ class CocoDetectionDataset:
                  max_boxes: int = 64, limit: int = 0,
                  category_ids: Optional[Sequence[int]] = None,
                  keep_empty: bool = False, seed: int = 0,
-                 shuffle: bool = False, load_masks: bool = False) -> None:
+                 shuffle: bool = False, load_masks: bool = False,
+                 load_keypoints: bool = False) -> None:
         self.images_dir = images_dir
         self.image_size = image_size
         self.max_boxes = max_boxes
         self.load_masks = load_masks
+        self.load_keypoints = load_keypoints
         self.coco = COCO(ann_file)
+        # keypoint schema from the category metadata (COCO person: 17),
+        # reference object/coco_utils.py:222-251 get_coco_kp
+        self.num_keypoints = 0
+        if load_keypoints:
+            for cat in self.coco.cats.values():
+                self.num_keypoints = max(self.num_keypoints,
+                                         len(cat.get("keypoints", [])))
+            if self.num_keypoints == 0:
+                self.num_keypoints = 17
         ids = self.coco.get_img_ids()
         if category_ids:
             category_ids = set(category_ids)
@@ -123,6 +134,8 @@ class CocoDetectionDataset:
         box_mask = np.zeros((self.max_boxes,), np.float32)
         masks = (np.zeros((self.max_boxes, S, S), np.uint8)
                  if self.load_masks else None)
+        kps = (np.zeros((self.max_boxes, self.num_keypoints, 3), np.float32)
+               if self.load_keypoints else None)
         anns = [a for a in self.coco.img_to_anns.get(img_id, [])
                 if not a.get("iscrowd", 0)][:self.max_boxes]
         for i, ann in enumerate(anns):
@@ -134,7 +147,15 @@ class CocoDetectionDataset:
             if masks is not None and "segmentation" in ann:
                 masks[i] = self._rasterize(ann["segmentation"], scale,
                                            pad_x, pad_y, S)
+            if kps is not None and ann.get("keypoints"):
+                k = np.asarray(ann["keypoints"],
+                               np.float32).reshape(-1, 3)[:self.num_keypoints]
+                k[:, 0] = k[:, 0] * scale + pad_x
+                k[:, 1] = k[:, 1] * scale + pad_y
+                kps[i, :len(k)] = k
         extra = {"gt_masks": masks} if masks is not None else {}
+        if kps is not None:
+            extra["gt_keypoints"] = kps
         return {
             **extra,
             "image": canvas,
@@ -232,11 +253,14 @@ class CocoLoader:
 
 
 def make_synthetic_coco(tmp_dir: str, n_images: int = 8, size: int = 64,
-                        n_classes: int = 3, seed: int = 0) -> tuple:
+                        n_classes: int = 3, seed: int = 0,
+                        keypoints: bool = False) -> tuple:
     """Write a tiny synthetic COCO-format dataset (images + labels.json) for
     smoke tests and the ``--test`` mode without network access.  Objects are
     axis-aligned bright rectangles on dark noise, so even short training
-    shows learning."""
+    shows learning.  With ``keypoints=True`` every annotation carries a
+    5-keypoint skeleton (4 corners + a drawn bright center dot, all
+    visible) so the keypoint head has a learnable signal."""
     import json
     from PIL import Image
     rng = np.random.default_rng(seed)
@@ -255,20 +279,33 @@ def make_synthetic_coco(tmp_dir: str, n_images: int = 8, size: int = 64,
             color = np.zeros(3)
             color[cls % 3] = 200 + 55 * (cls // 3)
             img[y:y + bh, x:x + bw] = color
-            annotations.append({
+            ann = {
                 "id": ann_id, "image_id": i + 1, "category_id": cls + 1,
                 "bbox": [float(x), float(y), float(bw), float(bh)],
                 "segmentation": [[float(x), float(y), float(x + bw), float(y),
                                   float(x + bw), float(y + bh),
                                   float(x), float(y + bh)]],
                 "area": float(bw * bh), "iscrowd": 0,
-            })
+            }
+            if keypoints:
+                cx, cy = x + bw / 2, y + bh / 2
+                img[int(cy) - 1:int(cy) + 1, int(cx) - 1:int(cx) + 1] = 255
+                pts = [(x + 1, y + 1), (x + bw - 1, y + 1), (cx, cy),
+                       (x + 1, y + bh - 1), (x + bw - 1, y + bh - 1)]
+                ann["keypoints"] = [float(v) for p in pts
+                                    for v in (p[0], p[1], 2)]
+                ann["num_keypoints"] = len(pts)
+            annotations.append(ann)
             ann_id += 1
         fname = f"{i + 1:06d}.jpg"
         Image.fromarray(img.astype(np.uint8)).save(os.path.join(img_dir, fname))
         images.append({"id": i + 1, "file_name": fname,
                        "height": size, "width": size})
     categories = [{"id": c + 1, "name": f"class{c}"} for c in range(n_classes)]
+    if keypoints:
+        kp_names = ["tl", "tr", "center", "bl", "br"]
+        for cat in categories:
+            cat["keypoints"] = kp_names
     ann_file = os.path.join(tmp_dir, "labels.json")
     with open(ann_file, "w") as f:
         json.dump({"images": images, "annotations": annotations,

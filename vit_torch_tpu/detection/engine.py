@@ -293,6 +293,8 @@ class DetectionTrainer:
                     "scores": preds["scores"][b][keep],
                     "labels": labels,
                 }
+                if "keypoints" in preds:
+                    update["keypoints"] = preds["keypoints"][b][keep]
                 if want_masks and "masks" in preds:
                     update["masks"] = _unletterbox_masks(
                         preds["masks"][b][keep], batch["scale"][b],
@@ -318,12 +320,13 @@ class FasterRCNNTrainer:
 
     def __init__(self, model, params, *, cfg, lr: float = 2e-3,
                  momentum: float = 0.9, weight_decay: float = 5e-4,
-                 augment: bool = False,
+                 augment: bool = False, kp_flip_inds=None,
                  norm_values: Optional[dict] = None) -> None:
         # reference optimizer: SGD(momentum .9, wd 5e-4), coco_pipeline.py:464-476
         self.model = model
         self.cfg = cfg
         self.augment = augment
+        self.kp_flip_inds = kp_flip_inds     # COCO left/right swap for hflip
         self.norm = norm_values or NORM_VALUES["imagenet"]
         self.tx = optax.chain(
             optax.clip_by_global_norm(10.0),
@@ -347,14 +350,23 @@ class FasterRCNNTrainer:
         model, cfg, norm = self.model, self.cfg, self.norm
         augment = self.augment
 
+        kp_flip_inds = self.kp_flip_inds
+
         @jax.jit
         def train_step(params, opt_state, batch, rng, model_state):
             flip_rng, sample_rng = jax.random.split(rng)
             raw = jnp.asarray(batch["image"])
             boxes = jnp.asarray(batch["boxes"])
+            keypoints = (jnp.asarray(batch["gt_keypoints"])
+                         if "gt_keypoints" in batch else None)
             if augment:
-                raw, boxes, _ = random_hflip(flip_rng, raw, boxes,
-                                             cfg.image_size)
+                flipped = random_hflip(flip_rng, raw, boxes, cfg.image_size,
+                                       keypoints=keypoints,
+                                       kp_flip_inds=kp_flip_inds)
+                if keypoints is None:
+                    raw, boxes, _ = flipped
+                else:
+                    raw, boxes, _, keypoints = flipped
 
             def loss_fn(p):
                 images = normalize(raw, **norm)
@@ -372,6 +384,8 @@ class FasterRCNNTrainer:
                            "labels": jnp.asarray(batch["labels"]),
                            "box_mask": jnp.asarray(batch["box_mask"]),
                            "mask": jnp.asarray(batch["mask"])}
+                if keypoints is not None:
+                    targets["keypoints"] = keypoints
                 losses = faster_rcnn_losses(outputs, targets, cfg, sample_rng)
                 return losses["loss"], (losses, new_ms)
 

@@ -267,6 +267,12 @@ class FasterRCNNConfig:
     rpn_batch: int = 256             # sampled anchors per image
     roi_batch: int = 128             # sampled proposals per image
     detections: int = 100
+    # Keypoint R-CNN branch (torchvision keypointrcnn_resnet50_fpn
+    # semantics); 0 = no keypoint head
+    num_keypoints: int = 0
+    kp_conv_channels: Tuple[int, ...] = (512,) * 8
+    kp_roi_size: int = 14            # RoIAlign grid for the keypoint branch
+    kp_rois: int = 128               # train-time proposals covered (top-score)
 
 
 class FasterRCNN(nn.Module):
@@ -309,12 +315,34 @@ class FasterRCNN(nn.Module):
                               name="cls_score")(x)
         box_deltas = nn.Dense(4 * (cfg.num_classes + 1), dtype=self.dtype,
                               name="bbox_pred")(x).reshape(B, R, -1, 4)
-        return {
+        outputs = {
             "anchors": anchors,
             "rpn_logits": rpn_logits, "rpn_deltas": rpn_deltas,
             "proposals": prop_boxes, "proposal_scores": prop_scores,
             "cls_logits": cls_logits, "box_deltas": box_deltas,
         }
+        if cfg.num_keypoints > 0:
+            from vit_torch_tpu.detection.keypoint import KeypointHead
+            kp_head = KeypointHead(cfg.num_keypoints, cfg.kp_conv_channels,
+                                   dtype=self.dtype, name="kp_head")
+            if deterministic:
+                # eval: keypoints on the final (post-NMS refined) detection
+                # boxes, like torchvision's inference path
+                dets = decode_detections(outputs, cfg)
+                kp_feats = roi_align(feats, dets["boxes"], cfg.strides,
+                                     cfg.kp_roi_size)
+                outputs["detections"] = dets
+                outputs["kp_logits"] = kp_head(kp_feats)
+                outputs["kp_boxes"] = dets["boxes"]
+            else:
+                # train: keypoints on the top-score proposals; the loss
+                # selects the positives among them
+                kp_boxes = prop_boxes[:, :cfg.kp_rois]
+                kp_feats = roi_align(feats, kp_boxes, cfg.strides,
+                                     cfg.kp_roi_size)
+                outputs["kp_logits"] = kp_head(kp_feats)
+                outputs["kp_boxes"] = kp_boxes
+        return outputs
 
     def _proposals(self, logits, deltas, anchors):
         cfg = self.config
@@ -390,8 +418,33 @@ def faster_rcnn_losses(outputs: Dict[str, jnp.ndarray],
     n = jnp.maximum(jnp.sum(targets["mask"]), 1.0)
     names = ("loss_rpn_cls", "loss_rpn_reg", "loss_cls", "loss_reg")
     out = {k: jnp.sum(v) / n for k, v in zip(names, losses)}
+    if "kp_logits" in outputs and "keypoints" in targets:
+        kp = _keypoint_loss_batch(outputs, targets)
+        out["loss_keypoint"] = jnp.sum(kp) / n
     out["loss"] = sum(out.values())
     return out
+
+
+def _keypoint_loss_batch(outputs: Dict[str, jnp.ndarray],
+                         targets: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Per-image keypoint heatmap CE over the positive keypoint rois
+    (torchvision ``keypointrcnn_loss``): the rois covered by the keypoint
+    branch are the top-score proposals; positives are those matching a gt
+    box at IoU ≥ 0.5, each supervised by its matched gt's keypoints."""
+    from vit_torch_tpu.detection.keypoint import keypoint_loss
+
+    def per_image(kp_logits, kp_boxes, gt_boxes, gt_kps, gt_mask,
+                  sample_mask):
+        gt_idx, label = match_to_gt(kp_boxes, gt_boxes, gt_mask,
+                                    hi=0.5, lo=0.5)
+        weights = (label == 1).astype(jnp.float32)
+        matched = gt_kps[gt_idx]                        # (Rk, K, 3)
+        return keypoint_loss(kp_logits, kp_boxes, matched,
+                             weights) * sample_mask
+
+    return jax.vmap(per_image)(
+        outputs["kp_logits"], outputs["kp_boxes"], targets["boxes"],
+        targets["keypoints"], targets["box_mask"], targets["mask"])
 
 
 def optax_sigmoid_ce(logits, labels):
@@ -400,11 +453,11 @@ def optax_sigmoid_ce(logits, labels):
         jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
-def faster_rcnn_predict(outputs: Dict[str, jnp.ndarray],
-                        cfg: FasterRCNNConfig,
-                        scale: jnp.ndarray, pad: jnp.ndarray,
-                        score_thresh: float = 0.05):
-    """Decode, per-class NMS (padded), top detections, unletterbox."""
+def decode_detections(outputs: Dict[str, jnp.ndarray],
+                      cfg: FasterRCNNConfig,
+                      score_thresh: float = 0.05) -> Dict[str, jnp.ndarray]:
+    """Decode + per-class NMS (padded) + top detections, in letterbox
+    coordinates (jittable core; :func:`faster_rcnn_predict` un-letterboxes)."""
     prob = jax.nn.softmax(outputs["cls_logits"].astype(jnp.float32), -1)
     scores_fg = prob[..., 1:]                              # (B, R, K)
     labels = jnp.argmax(scores_fg, -1) + 1                 # (B, R)
@@ -423,6 +476,30 @@ def faster_rcnn_predict(outputs: Dict[str, jnp.ndarray],
                 jnp.where(valid, label[keep], 0))
 
     boxes, scores, labels = jax.vmap(per_image)(boxes, scores, labels)
-    pad_xy = jnp.concatenate([pad, pad], -1)[:, None, :]
-    boxes = (boxes - pad_xy) / scale[:, None, None]
     return {"boxes": boxes, "scores": scores, "labels": labels}
+
+
+def faster_rcnn_predict(outputs: Dict[str, jnp.ndarray],
+                        cfg: FasterRCNNConfig,
+                        scale: jnp.ndarray, pad: jnp.ndarray,
+                        score_thresh: float = 0.05):
+    """Decode, per-class NMS (padded), top detections, unletterbox.
+    Adds decoded ``keypoints`` (B, D, K, 3) when the model ran its keypoint
+    branch (torchvision keypointrcnn inference semantics)."""
+    dets = outputs.get("detections")
+    if dets is None:
+        dets = decode_detections(outputs, cfg, score_thresh)
+    pad_xy = jnp.concatenate([pad, pad], -1)[:, None, :]
+    out = {
+        "boxes": (dets["boxes"] - pad_xy) / scale[:, None, None],
+        "scores": dets["scores"],
+        "labels": dets["labels"],
+    }
+    if "kp_logits" in outputs and "detections" in outputs:
+        from vit_torch_tpu.detection.keypoint import heatmaps_to_keypoints
+        kps = heatmaps_to_keypoints(outputs["kp_logits"],
+                                    outputs["kp_boxes"])   # (B, D, K, 3)
+        xy = (kps[..., :2] - pad[:, None, None, :]) / \
+            scale[:, None, None, None]
+        out["keypoints"] = jnp.concatenate([xy, kps[..., 2:]], -1)
+    return out

@@ -90,13 +90,19 @@ def random_zoom_crop(rng: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
 def random_hflip(rng: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
                  image_size: int, masks: Optional[jnp.ndarray] = None,
                  prob: float = 0.5,
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+                 keypoints: Optional[jnp.ndarray] = None,
+                 kp_flip_inds: Optional[Tuple[int, ...]] = None):
     """Per-sample random horizontal flip of a letterboxed detection batch.
 
     images: (B, S, S, C) — flipped along W;
     boxes:  (B, N, 4) xyxy in canvas coords — x coords mirrored about S
             (the centered letterbox is symmetric, so content stays aligned);
-    masks:  optional (B, N, S, S) instance masks, flipped along W.
+    masks:  optional (B, N, S, S) instance masks, flipped along W;
+    keypoints: optional (B, N, K, 3) — x mirrored, K axis reordered by
+            ``kp_flip_inds`` (COCO left/right swap, reference
+            ``object/transforms.py:7-14``; identity when None).
+
+    Returns (images, boxes, masks) — plus keypoints when given.
     """
     flip = jax.random.bernoulli(rng, prob, (images.shape[0],))
     images = jnp.where(flip[:, None, None, None],
@@ -108,4 +114,11 @@ def random_hflip(rng: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
     if masks is not None:
         masks = jnp.where(flip[:, None, None, None],
                           masks[..., ::-1], masks)
-    return images, boxes, masks
+    if keypoints is None:
+        return images, boxes, masks
+    kf = jnp.stack([image_size - keypoints[..., 0], keypoints[..., 1],
+                    keypoints[..., 2]], axis=-1)
+    if kp_flip_inds is not None:
+        kf = kf[:, :, jnp.asarray(kp_flip_inds)]
+    keypoints = jnp.where(flip[:, None, None, None], kf, keypoints)
+    return images, boxes, masks, keypoints

@@ -49,6 +49,29 @@ class Identity(nn.Module):
         return x
 
 
+class DenseParams(nn.Module):
+    """Parameter holder with ``nn.Dense``'s exact tree layout
+    (``<name>/kernel`` + ``<name>/bias``), returning the raw fp32 arrays.
+
+    Used where a fused Pallas kernel consumes the weights directly (e.g.
+    ``ops/window_block.py``) but the checkpoint importers / parity tests
+    must keep seeing the standard Dense paths.  ``__call__(in_features)``
+    replaces Dense's shape inference."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = trunc_normal_init
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", self.kernel_init,
+                            (in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32) \
+            if self.use_bias else None
+        return kernel, bias
+
+
 def drop_path(x: jax.Array, rate: float, deterministic: bool,
               rng: Optional[jax.Array]) -> jax.Array:
     """Stochastic depth: drop the whole residual branch per sample."""
@@ -71,8 +94,26 @@ class DropPath(nn.Module):
         return drop_path(x, self.rate, deterministic, rng)
 
 
+def _use_fused_mlp(T: int, C: int, hidden: int, out_dim: int) -> bool:
+    """Dispatch to the fused fc1→GELU→fc2 Pallas kernel
+    (``ops/fused_mlp.py``).  OPT-IN only (VITX_FUSED_MLP=1): measured on
+    v5e the kernel loses 2-3× to the XLA path — XLA already chains
+    fc1→GELU→fc2 without a full HBM round-trip, and the kernel's in-program
+    erf polynomial serializes VPU work against the MXU (PERF.md)."""
+    import os
+    if os.environ.get("VITX_FUSED_MLP", "") != "1":
+        return False
+    from vit_torch_tpu.ops.fused_mlp import fits
+    return fits(T, C, hidden, out_dim)
+
+
 class Mlp(nn.Module):
-    """Transformer MLP: Dense → GELU → Dense (+dropout)."""
+    """Transformer MLP: Dense → GELU → Dense (+dropout).
+
+    On TPU the whole block runs as one fused Pallas kernel when the exact
+    GELU is in use and dropout is inactive (``ops/fused_mlp.py`` — the
+    (T, 4C) hidden activations never touch HBM); otherwise the standard
+    XLA path below."""
 
     hidden_dim: int
     out_dim: Optional[int] = None
@@ -82,13 +123,24 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        out_dim = self.out_dim or x.shape[-1]
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
-                     kernel_init=trunc_normal_init, name="fc1")(x)
+        C = x.shape[-1]
+        out_dim = self.out_dim or C
+        w1, b1 = DenseParams(self.hidden_dim, name="fc1")(C)
+        w2, b2 = DenseParams(out_dim, name="fc2")(self.hidden_dim)
+        dt = self.dtype
+        T = 1
+        for d in x.shape[:-1]:
+            T *= d
+        dropout_active = self.dropout > 0.0 and not deterministic
+        if (self.act is gelu_exact and not dropout_active
+                and _use_fused_mlp(T, C, self.hidden_dim, out_dim)):
+            from vit_torch_tpu.ops.fused_mlp import fused_mlp
+            return fused_mlp(x, w1.astype(dt), b1.astype(dt),
+                             w2.astype(dt), b2.astype(dt))
+        x = jnp.dot(x, w1.astype(dt)) + b1.astype(dt)
         x = self.act(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(out_dim, dtype=self.dtype,
-                     kernel_init=trunc_normal_init, name="fc2")(x)
+        x = jnp.dot(x, w2.astype(dt)) + b2.astype(dt)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
 

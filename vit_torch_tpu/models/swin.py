@@ -35,7 +35,7 @@ import numpy as np
 from flax import linen as nn
 
 from vit_torch_tpu.models.layers import (
-    Dtype, DropPath, LayerNorm, Mlp, trunc_normal_init,
+    DenseParams, Dtype, DropPath, LayerNorm, Mlp, trunc_normal_init,
 )
 from vit_torch_tpu.ops.attention import dot_product_attention
 
@@ -160,6 +160,26 @@ def _use_fused_window(Bn: int, N: int, mask) -> bool:
     return True
 
 
+def _use_fused_block(Bn: int, N: int, C: int, H: int, mask) -> bool:
+    """Dispatch to the fully-fused qkv+attention+proj window-block kernel
+    (``ops/window_block.py``).  VITX_FUSED_BLOCK=1 forces it on (CPU
+    interpret, golden tests), =0 turns it off; default is TPU-only.
+    VITX_FUSED_WINDOW=0 also disables it (one switch kills all Pallas
+    window paths)."""
+    import os
+    if os.environ.get("VITX_FUSED_WINDOW", "") == "0":
+        return False
+    flag = os.environ.get("VITX_FUSED_BLOCK", "")
+    if flag == "0":
+        return False
+    if flag != "1" and jax.default_backend() != "tpu":
+        return False
+    if mask is not None and Bn % mask.shape[0]:
+        return False
+    from vit_torch_tpu.ops.window_block import fits
+    return fits(Bn, N, C, H, mask.shape[0] if mask is not None else None)
+
+
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias over (B·nW, w², C) windows."""
 
@@ -179,8 +199,23 @@ class WindowAttention(nn.Module):
                            ((2 * w - 1) ** 2, H), jnp.float32)
         idx = relative_position_index(w).reshape(-1)
         bias = table[idx].reshape(N, N, H).transpose(2, 0, 1)   # (H, N, N)
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
-                       kernel_init=trunc_normal_init, name="qkv")(x)
+        # raw Dense-layout params so the fused kernels can consume the
+        # weights directly; tree paths stay qkv/kernel … proj/bias
+        w_qkv, b_qkv = DenseParams(3 * C, self.qkv_bias, name="qkv")(C)
+        w_proj, b_proj = DenseParams(C, name="proj")(C)
+        dt = self.dtype
+        if _use_fused_block(Bn, N, C, H, mask):
+            # fully-fused Pallas kernel: qkv matmul + attention + proj in
+            # one program — the qkv/scores/attn activations never touch HBM
+            from vit_torch_tpu.ops.window_block import window_block
+            return window_block(
+                x, w_qkv.astype(dt),
+                None if b_qkv is None else b_qkv.astype(dt), bias, mask,
+                w_proj.astype(dt), b_proj.astype(dt),
+                num_heads=H, scale=scale)
+        qkv = jnp.dot(x, w_qkv.astype(dt))
+        if b_qkv is not None:
+            qkv = qkv + b_qkv.astype(dt)
         qkv = qkv.reshape(Bn, N, 3, H, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if _use_fused_window(Bn, N, mask):
@@ -189,8 +224,7 @@ class WindowAttention(nn.Module):
             from vit_torch_tpu.ops.window_attention import window_attention
             out = window_attention(q, k, v, bias, mask,
                                    scale=scale).reshape(Bn, N, C)
-            return nn.Dense(C, dtype=self.dtype,
-                            kernel_init=trunc_normal_init, name="proj")(out)
+            return jnp.dot(out, w_proj.astype(dt)) + b_proj.astype(dt)
         # logits in fp32; bias/mask stay rank-deficient so XLA fuses the
         # broadcasts into the softmax instead of materializing a
         # (B·nW, H, N, N) bias tensor
@@ -204,8 +238,7 @@ class WindowAttention(nn.Module):
             logits = logits.reshape(Bn, H, N, N)
         weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(Bn, N, C)
-        return nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_init,
-                        name="proj")(out)
+        return jnp.dot(out, w_proj.astype(dt)) + b_proj.astype(dt)
 
 
 class SwinBlock(nn.Module):

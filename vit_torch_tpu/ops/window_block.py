@@ -1,0 +1,267 @@
+"""Fully-fused Swin window-block Pallas TPU kernel: qkv projection +
+window attention (relative-position bias + shifted mask) + output
+projection in ONE kernel.
+
+Motivation (PERF.md item 1): with the attention-only kernel
+(``ops/window_attention.py``) the (B·nW, N, C) window activations still
+round-trip HBM four times per block — qkv matmul writes 3C, the attention
+kernel reads 3C / writes C, the proj matmul reads C / writes C.  Swin's
+early stages are HBM-bound (C = 128..256, 9216 tokens per image at 384²),
+so that traffic — not FLOPs — caps the block at ~14% MFU.  This kernel
+reads the windows once (C), keeps qkv / scores / per-head outputs in VMEM,
+and writes the projected output once (C): ~8C of HBM traffic becomes 2C.
+
+Covers the reference hot block ``models/swin.py:105-160`` (qkv Linear →
+attention → proj Linear) — reimagined as one fused TPU program, not a
+translation.
+
+Layout contracts (matching ``models/swin.py`` ``WindowAttention``):
+- x: ``(Bn, N, C)`` windows, ``Bn = B·nW`` flattened window-major per image
+  (``window_partition`` order), so window ``i``'s mask row is ``i % nW``;
+- w_qkv: ``(C, 3C)`` with output features ordered ``(3, H, D)`` — q for all
+  heads, then k, then v (the flax/torch qkv layout); b_qkv: ``(1, 3C)``;
+- bias: ``(H, N, N)`` gathered relative-position bias (the table gather
+  stays outside so the bias-table gradient flows through JAX scatter-add);
+- mask: ``(nW, N, N)`` additive shifted-window mask, or None;
+- w_proj: ``(C, C)``; b_proj: ``(1, C)``.
+
+Per grid program (one chunk of WB windows): one fat (WB·N, C)×(C, 3C)
+matmul feeds an unrolled per-head attention loop (static 32-lane slices of
+the qkv buffer — D = C/H = 32 for every Swin config), then one
+(WB·N, C)×(C, C) projection.  Weights/bias use constant index maps, so the
+pipeline keeps them resident in VMEM across programs instead of re-DMAing.
+
+Backward: the op carries a custom VJP whose backward *recomputes* through
+the partially-fused reference path (XLA qkv matmul → ``window_attention``
+kernel → XLA proj matmul), reusing that kernel's analytic backward.  The
+fused forward is therefore a pure-fwd optimization — exactly what the
+linear-eval path (frozen backbone, forward-only) wants; finetune pays one
+extra partially-fused forward inside the backward, which the HBM savings
+of the fused forward offset.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vit_torch_tpu.ops.window_attention import window_attention
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+_LANE = 128
+
+# Calibrated on v5e against Mosaic's scoped-VMEM allocator (WB sweep over the
+# swin_base_384 stage shapes, see PERF.md): the per-program activation
+# working set wb·N·C must stay under ~150k bf16 elements when a mask block
+# rides along (~300k without), and the VMEM-resident constants (both weight
+# matrices + fp32 bias table + mask) must leave room for the pipeline's
+# activation buffers.  Stage 4 of the `base`/`large` configs (C ≥ 1024,
+# H = 32 bias table) exceeds the static budget at any WB — callers fall back
+# to the attention-only kernel there (its runtime share is negligible).
+_ACT_ELEMS_MASKED = 150_000
+_ACT_ELEMS_NOMASK = 300_000
+_STATIC_BUDGET = 8 * 1024 * 1024
+
+
+def _pad_lane(n: int) -> int:
+    return -(-n // _LANE) * _LANE
+
+
+def _static_bytes(wb: int, N: int, C: int, H: int, has_mask: bool) -> int:
+    np_ = _pad_lane(N)
+    weights = (C * _pad_lane(3 * C) + C * _pad_lane(C)) * 2
+    bias = H * N * np_ * 4
+    mask = (wb * N * np_ * 4) if has_mask else 0
+    return weights + bias + mask
+
+
+def pick_window_block(nW_img: int, Bn: int, N: int, C: int, H: int,
+                      has_mask: bool) -> int:
+    """Largest WB dividing nW_img (mask alignment) and Bn that fits VMEM.
+    Returns 0 when even WB=1 does not fit (caller must fall back)."""
+    act_budget = _ACT_ELEMS_MASKED if has_mask else _ACT_ELEMS_NOMASK
+    if N * C > act_budget:
+        return 0
+    wb = min(nW_img, Bn, act_budget // (N * C))
+    while wb >= 1:
+        if nW_img % wb == 0 and Bn % wb == 0 and \
+                _static_bytes(wb, N, C, H, has_mask) <= _STATIC_BUDGET:
+            return wb
+        wb -= 1
+    return 0
+
+
+# --------------------------------------------------------------------------
+# forward kernel
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(*refs, num_heads: int, scale: float, has_mask: bool):
+    if has_mask:
+        (x_ref, wqkv_ref, bqkv_ref, bias_ref, mask_ref, wproj_ref,
+         bproj_ref, o_ref) = refs
+    else:
+        (x_ref, wqkv_ref, bqkv_ref, bias_ref, wproj_ref, bproj_ref,
+         o_ref) = refs
+    WB, N, C = x_ref.shape
+    D = C // num_heads
+    x = x_ref[...].reshape(WB * N, C)
+    qkv = jax.lax.dot(x, wqkv_ref[...], preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv_ref[...].astype(jnp.float32)
+    qkv = qkv.astype(x.dtype)                               # (WB·N, 3C)
+    mask = mask_ref[...].astype(jnp.float32) if has_mask else None
+    heads = []
+    for h in range(num_heads):
+        q = qkv[:, h * D:(h + 1) * D].reshape(WB, N, D)
+        k = qkv[:, C + h * D:C + (h + 1) * D].reshape(WB, N, D)
+        v = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D].reshape(WB, N, D)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale     # (WB, N, N)
+        s = s + bias_ref[h].astype(jnp.float32)[None]
+        if has_mask:
+            s = s + mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        heads.append((o / l).astype(x.dtype).reshape(WB * N, D))
+    attn = jnp.concatenate(heads, axis=-1)                  # (WB·N, C)
+    out = jax.lax.dot(attn, wproj_ref[...],
+                      preferred_element_type=jnp.float32)
+    out = out + bproj_ref[...].astype(jnp.float32)
+    o_ref[...] = out.reshape(WB, N, C).astype(o_ref.dtype)
+
+
+def _fwd_impl(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads, scale,
+              wb):
+    Bn, N, C = x.shape
+    has_mask = mask is not None
+    grid = (Bn // wb,)
+    xspec = pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0))
+    H = num_heads
+    in_specs = [
+        xspec,
+        pl.BlockSpec((C, 3 * C), lambda i: (0, 0)),
+        pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
+        pl.BlockSpec((H, N, N), lambda i: (0, 0, 0)),
+    ]
+    args = [x, w_qkv, b_qkv, bias]
+    if has_mask:
+        n_mask_blocks = mask.shape[0] // wb
+        in_specs.append(pl.BlockSpec((wb, N, N),
+                                     lambda i: (i % n_mask_blocks, 0, 0)))
+        args.append(mask)
+    in_specs.extend([
+        pl.BlockSpec((C, C), lambda i: (0, 0)),
+        pl.BlockSpec((1, C), lambda i: (0, 0)),
+    ])
+    args.extend([w_proj, b_proj])
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, num_heads=num_heads, scale=scale,
+                          has_mask=has_mask),
+        out_shape=jax.ShapeDtypeStruct((Bn, N, C), x.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=xspec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(*args)
+
+
+# --------------------------------------------------------------------------
+# custom VJP — backward recomputes through the partially-fused path
+# --------------------------------------------------------------------------
+
+def _ref_forward(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads,
+                 scale):
+    """qkv matmul (XLA) → fused window-attention kernel → proj matmul."""
+    Bn, N, C = x.shape
+    D = C // num_heads
+    qkv = jnp.dot(x, w_qkv) + b_qkv[0].astype(x.dtype)
+    qkv = qkv.reshape(Bn, N, 3, num_heads, D)
+    out = window_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], bias,
+                           mask, scale=scale)
+    out = out.reshape(Bn, N, C)
+    return jnp.dot(out, w_proj) + b_proj[0].astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _window_block(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads,
+                  scale, wb):
+    return _fwd_impl(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads,
+                     scale, wb)
+
+
+def _wb_fwd(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads, scale,
+            wb):
+    out = _fwd_impl(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads,
+                    scale, wb)
+    return out, (x, w_qkv, b_qkv, bias, mask, w_proj, b_proj)
+
+
+def _wb_bwd(num_heads, scale, wb, res, do):
+    x, w_qkv, b_qkv, bias, mask, w_proj, b_proj = res
+
+    def fwd(x, w_qkv, b_qkv, bias, w_proj, b_proj):
+        return _ref_forward(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
+                            num_heads, scale)
+
+    _, vjp = jax.vjp(fwd, x, w_qkv, b_qkv, bias, w_proj, b_proj)
+    dx, dw_qkv, db_qkv, dbias, dw_proj, db_proj = vjp(do)
+    return dx, dw_qkv, db_qkv, dbias, None, dw_proj, db_proj
+
+
+_window_block.defvjp(_wb_fwd, _wb_bwd)
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+def window_block(x: jax.Array, w_qkv: jax.Array,
+                 b_qkv: Optional[jax.Array], bias: jax.Array,
+                 mask: Optional[jax.Array], w_proj: jax.Array,
+                 b_proj: Optional[jax.Array], *, num_heads: int,
+                 scale: Optional[float] = None) -> jax.Array:
+    """Fused qkv→window-attention→proj over ``(Bn, N, C)`` windows.
+
+    Differentiable in x / weights / biases / bias-table gather output.
+    Call :func:`fits` first — raises if the working set exceeds VMEM.
+    """
+    Bn, N, C = x.shape
+    if scale is None:
+        scale = (C // num_heads) ** -0.5
+    nW = mask.shape[0] if mask is not None else min(Bn, 64)
+    wb = pick_window_block(nW, Bn, N, C, num_heads, mask is not None)
+    if wb == 0:
+        raise ValueError("window_block working set exceeds VMEM; "
+                         "check fits() before dispatching")
+    if b_qkv is None:
+        b_qkv = jnp.zeros((3 * C,), x.dtype)
+    if b_proj is None:
+        b_proj = jnp.zeros((C,), x.dtype)
+    return _window_block(x, w_qkv, b_qkv.reshape(1, 3 * C), bias, mask,
+                         w_proj, b_proj.reshape(1, C), num_heads,
+                         float(scale), wb)
+
+
+def fits(Bn: int, N: int, C: int, num_heads: int, nW: Optional[int]) -> bool:
+    """True when the fused window-block kernel can run at these shapes."""
+    if C % num_heads or C % _LANE:
+        return False
+    if nW is not None and Bn % nW:
+        return False
+    return pick_window_block(nW if nW is not None else min(Bn, 64),
+                             Bn, N, C, num_heads, nW is not None) > 0
