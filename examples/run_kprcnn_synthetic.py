@@ -83,8 +83,10 @@ def main() -> None:
                        "device": jax.devices()[0].platform},
               "logs": []}
     t0 = time.time()
+    # StepLR scaled to the run length (15-epoch step at the default 25)
+    lr_step = max(args.epochs * 3 // 5, 1)
     for epoch in range(args.epochs):
-        sched_lr = 0.01 * (0.1 ** (epoch // 15))
+        sched_lr = 0.01 * (0.1 ** (epoch // lr_step))
         trainer.base_lr = sched_lr
         trainer.set_lr(sched_lr)
         logs = trainer.train_one_epoch(train_loader, epoch)

@@ -54,6 +54,33 @@ def test_flash_bf16_runs():
                                np.asarray(ref, np.float32), atol=3e-2)
 
 
+def test_attention_bhnd_layout_matches(monkeypatch):
+    """The (B, H, N, D)-layout Attention path (einsum q/k/v + head-major
+    flash kernel, ``models/layers.py:_attn_bhnd_layout``) matches the
+    standard path in forward and all parameter gradients."""
+    from vit_torch_tpu.models.layers import Attention
+    x = jnp.asarray(np.random.default_rng(7).normal(0, 1, (2, 37, 64)),
+                    jnp.float32)
+    m = Attention(num_heads=4, dtype=jnp.float32)
+    monkeypatch.setenv("VITX_ATTN_BHND", "0")
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    assert set(params) == {"qkv", "proj"}
+    ref = m.apply({"params": params}, x)
+    g_ref = jax.grad(lambda p: jnp.sum(m.apply({"params": p}, x) ** 2))(
+        params)
+    monkeypatch.setenv("VITX_ATTN_BHND", "1")
+    ours = m.apply({"params": params}, x)
+    g_ours = jax.grad(lambda p: jnp.sum(m.apply({"params": p}, x) ** 2))(
+        params)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+    for mod in ("qkv", "proj"):
+        for leaf in ("kernel", "bias"):
+            np.testing.assert_allclose(
+                np.asarray(g_ours[mod][leaf]), np.asarray(g_ref[mod][leaf]),
+                atol=5e-4, rtol=1e-3, err_msg=f"{mod}/{leaf}")
+
+
 def test_dispatcher_uses_xla_on_cpu():
     q, k, v = _qkv(N=64)
     out = dot_product_attention(q, k, v)

@@ -145,6 +145,24 @@ class Mlp(nn.Module):
         return x
 
 
+def _attn_bhnd_layout(x) -> bool:
+    """Dispatch the (B, H, N, D)-layout attention path (einsum-formed q/k/v
+    feeding the flash kernel without host-visible transposes).
+    VITX_ATTN_BHND=1 forces it on (CPU interpret, tests), =0 off; default is
+    TPU-only at flash-kernel sequence lengths."""
+    import os
+    flag = os.environ.get("VITX_ATTN_BHND", "")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    if jax.default_backend() != "tpu":
+        return False
+    from vit_torch_tpu.ops.attention import _flash_min_seq
+    threshold = _flash_min_seq()
+    return threshold > 0 and x.shape[1] >= threshold
+
+
 class Attention(nn.Module):
     """Standard multi-head self-attention with a single fused QKV projection."""
 
@@ -158,16 +176,38 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         B, N, C = x.shape
-        head_dim = C // self.num_heads
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
-                       kernel_init=trunc_normal_init, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        H = self.num_heads
+        head_dim = C // H
         scale = self.qk_scale or head_dim ** -0.5
-        out = dot_product_attention(q, k, v, scale=scale)
-        out = out.reshape(B, N, C)
-        out = nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_init,
-                       name="proj")(out)
+        w_qkv, b_qkv = DenseParams(3 * C, self.qkv_bias, name="qkv")(C)
+        w_proj, b_proj = DenseParams(C, name="proj")(C)
+        dt = self.dtype
+        if _attn_bhnd_layout(x):
+            # Form q/k/v directly in the flash kernel's (B, H, N, D) layout
+            # via einsum so XLA folds the head transpose into the qkv-matmul
+            # epilogue instead of materializing (B, N, 3, H, D) + 3
+            # transposed copies in HBM; project back the same way.
+            from vit_torch_tpu.ops.flash_attention import flash_attention_bhnd
+            w3 = w_qkv.astype(dt).reshape(C, 3, H, head_dim)
+            qh = jnp.einsum("bnc,chd->bhnd", x, w3[:, 0])
+            kh = jnp.einsum("bnc,chd->bhnd", x, w3[:, 1])
+            vh = jnp.einsum("bnc,chd->bhnd", x, w3[:, 2])
+            if b_qkv is not None:
+                b3 = b_qkv.astype(dt).reshape(3, H, 1, head_dim)
+                qh, kh, vh = qh + b3[0], kh + b3[1], vh + b3[2]
+            out = flash_attention_bhnd(qh, kh, vh, scale=scale)
+            out = jnp.einsum("bhnd,hdc->bnc", out,
+                             w_proj.astype(dt).reshape(H, head_dim, C))
+            out = out + b_proj.astype(dt)
+        else:
+            qkv = jnp.dot(x, w_qkv.astype(dt))
+            if b_qkv is not None:
+                qkv = qkv + b_qkv.astype(dt)
+            qkv = qkv.reshape(B, N, 3, H, head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            out = dot_product_attention(q, k, v, scale=scale)
+            out = out.reshape(B, N, C)
+            out = jnp.dot(out, w_proj.astype(dt)) + b_proj.astype(dt)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 

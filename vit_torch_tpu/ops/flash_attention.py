@@ -256,6 +256,21 @@ def _attention_bwd(scale, block_q, res, do):
 _attention.defvjp(_attention_fwd, _attention_bwd)
 
 
+def flash_attention_bhnd(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                         scale: Optional[float] = None,
+                         block_q: Optional[int] = None) -> jax.Array:
+    """Fused attention over ``(B, H, N, D)`` tensors — the kernels' native
+    layout, for callers that already produce head-major q/k/v (e.g. the
+    einsum-formed path in ``models/layers.py:Attention``) and want to skip
+    the two (B, N, H, D) ⇄ (B, H, N, D) transposes of
+    :func:`flash_attention`."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if block_q is None:
+        block_q = q.shape[2] if q.shape[2] <= 1100 else 512
+    return _attention(q, k, v, float(scale), int(block_q))
+
+
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     scale: Optional[float] = None,
                     block_q: Optional[int] = None) -> jax.Array:
