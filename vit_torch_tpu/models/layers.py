@@ -145,6 +145,20 @@ class Mlp(nn.Module):
         return x
 
 
+def _attn_fused_block(x, num_heads: int) -> bool:
+    """Dispatch to the fully-fused qkv+attention+proj kernel
+    (``ops/attn_block.py``).  OPT-IN only (VITX_FUSED_ATTN=1): measured
+    e2e-neutral on v5e at the headline shape (537 vs 541 img/s) — the
+    per-batch-element serialized program forfeits the cross-program matmul
+    pipelining that XLA's fat qkv/proj matmuls get, cancelling the HBM
+    savings (PERF.md)."""
+    import os
+    if os.environ.get("VITX_FUSED_ATTN", "") != "1":
+        return False
+    from vit_torch_tpu.ops.attn_block import fits
+    return fits(x.shape[1], x.shape[2], num_heads)
+
+
 def _attn_bhnd_layout(x) -> bool:
     """Dispatch the (B, H, N, D)-layout attention path (einsum-formed q/k/v
     feeding the flash kernel without host-visible transposes).
@@ -182,7 +196,16 @@ class Attention(nn.Module):
         w_qkv, b_qkv = DenseParams(3 * C, self.qkv_bias, name="qkv")(C)
         w_proj, b_proj = DenseParams(C, name="proj")(C)
         dt = self.dtype
-        if _attn_bhnd_layout(x):
+        if _attn_fused_block(x, H):
+            # fully-fused Pallas kernel: qkv matmul + attention + proj in
+            # one program — q/k/v/attn-out never touch HBM
+            from vit_torch_tpu.ops.attn_block import attention_block
+            out = attention_block(
+                x, w_qkv.astype(dt),
+                None if b_qkv is None else b_qkv.astype(dt),
+                w_proj.astype(dt), b_proj.astype(dt),
+                num_heads=H, scale=scale)
+        elif _attn_bhnd_layout(x):
             # Form q/k/v directly in the flash kernel's (B, H, N, D) layout
             # via einsum so XLA folds the head transpose into the qkv-matmul
             # epilogue instead of materializing (B, N, 3, H, D) + 3
