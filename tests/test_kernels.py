@@ -81,6 +81,25 @@ def test_attention_bhnd_layout_matches(monkeypatch):
                 atol=5e-4, rtol=1e-3, err_msg=f"{mod}/{leaf}")
 
 
+def test_attn_layout_paths_yield_to_seq_parallel(monkeypatch):
+    """With a seq-sharded mesh active, the Attention layout/fusion fast
+    paths must stand down so ring attention handles the sharded token axis
+    (ops/attention.py dispatch)."""
+    from vit_torch_tpu.models.layers import (
+        _attn_bhnd_layout, _attn_fused_block)
+    from vit_torch_tpu.ops.attention import sequence_parallel
+    from vit_torch_tpu.parallel import make_mesh
+    x = jnp.zeros((2, 512, 128))
+    monkeypatch.setenv("VITX_ATTN_BHND", "1")
+    monkeypatch.setenv("VITX_FUSED_ATTN", "1")
+    assert _attn_bhnd_layout(x) and _attn_fused_block(x, 4)
+    mesh = make_mesh("data=4,seq=2")
+    with sequence_parallel(mesh):
+        assert not _attn_bhnd_layout(x)
+        assert not _attn_fused_block(x, 4)
+    assert _attn_bhnd_layout(x)
+
+
 def test_dispatcher_uses_xla_on_cpu():
     q, k, v = _qkv(N=64)
     out = dot_product_attention(q, k, v)

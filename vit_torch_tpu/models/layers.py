@@ -155,6 +155,9 @@ def _attn_fused_block(x, num_heads: int) -> bool:
     import os
     if os.environ.get("VITX_FUSED_ATTN", "") != "1":
         return False
+    from vit_torch_tpu.ops.attention import _active_seq_mesh
+    if _active_seq_mesh() is not None:
+        return False                    # seq-sharded: ring attention path
     from vit_torch_tpu.ops.attn_block import fits
     return fits(x.shape[1], x.shape[2], num_heads)
 
@@ -165,6 +168,12 @@ def _attn_bhnd_layout(x) -> bool:
     VITX_ATTN_BHND=1 forces it on (CPU interpret, tests), =0 off; default is
     TPU-only at flash-kernel sequence lengths."""
     import os
+    from vit_torch_tpu.ops.attention import _active_seq_mesh, _flash_min_seq
+    if _active_seq_mesh() is not None:
+        # sequence-parallel training: the token axis is sharded — attention
+        # must route through ring attention (ops/attention.py dispatch),
+        # not the single-device flash kernel
+        return False
     flag = os.environ.get("VITX_ATTN_BHND", "")
     if flag == "0":
         return False
@@ -172,7 +181,6 @@ def _attn_bhnd_layout(x) -> bool:
         return True
     if jax.default_backend() != "tpu":
         return False
-    from vit_torch_tpu.ops.attention import _flash_min_seq
     threshold = _flash_min_seq()
     return threshold > 0 and x.shape[1] >= threshold
 
