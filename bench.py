@@ -92,6 +92,10 @@ def bench_config(cfg: dict) -> dict:
                                lineareval=cfg["lineareval"])
     augment = make_train_augment(**NORM_VALUES["stl10"], dtype=jnp.bfloat16)
     apply_fn = zm.model.apply
+    # BN-family models (resnet, xcit conv patch-embed) carry batch_stats;
+    # thread them through as constants — identical per-step compute, the
+    # stats update is discarded (throughput measurement only)
+    extra_colls = {k: v for k, v in variables.items() if k != "params"}
 
     def one_step(state, batch):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -99,8 +103,13 @@ def bench_config(cfg: dict) -> dict:
         images = augment(aug_rng, batch["image"])
 
         def loss_fn(params):
-            vs = {"params": {**state.frozen, **params}}
-            logits = apply_fn(vs, images, False, rngs={"dropout": rng})
+            vs = {"params": {**state.frozen, **params}, **extra_colls}
+            if extra_colls:
+                logits, _ = apply_fn(vs, images, False,
+                                     rngs={"dropout": rng},
+                                     mutable=list(extra_colls))
+            else:
+                logits = apply_fn(vs, images, False, rngs={"dropout": rng})
             return (cross_entropy_loss(logits, batch["label"], batch["mask"]),
                     logits)
 

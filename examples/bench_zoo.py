@@ -1,0 +1,84 @@
+"""Model-zoo training throughput on the real TPU chip — every family.
+
+Runs the same full-train-step measurement as ``bench.py`` (device-side
+augmentation + forward(+backward) + optimizer + device-resident metrics,
+lax.scan'd, D2H-fenced) across one representative arch per zoo family.
+Writes ``examples/zoo_bench_tpu.json``.
+
+Reference baselines (1×RTX 3090, BASELINE.md run logs) exist only for the
+DINO ViT and Swin families; the reference never successfully ran DeiT/XCiT
+(left unwired) and logged no CaiT/ResNeXt throughput — those rows stand
+alone.
+
+Usage: python examples/bench_zoo.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (repo-root bench.py — reuses its methodology)
+
+_orig_flops = bench.model_flops_per_image
+
+
+def _flops_or_zero(arch: str, image_size: int) -> int:
+    """Analytic FLOPs exist for vit/swin; other families report img/s only."""
+    try:
+        return _orig_flops(arch, image_size)
+    except Exception:
+        return 0
+
+
+bench.model_flops_per_image = _flops_or_zero
+
+ZOO_CONFIGS = [
+    {"name": "dino_vits16 lineareval 224px bs32", "arch": "dino_vits16",
+     "image_size": 224, "bs": 32, "lineareval": True,
+     "baseline_img_s": 507.0},        # 1.97 ms/sample, BASELINE.md
+    {"name": "deit_base_distilled lineareval 224px bs32",
+     "arch": "deit_base_distilled_patch16_224",
+     "image_size": 224, "bs": 32, "lineareval": True, "baseline_img_s": None},
+    {"name": "cait_s24 lineareval 224px bs32", "arch": "cait_s24_224",
+     "image_size": 224, "bs": 32, "lineareval": True, "baseline_img_s": None},
+    {"name": "xcit_small_12_p16 lineareval 224px bs32",
+     "arch": "xcit_small_12_p16",
+     "image_size": 224, "bs": 32, "lineareval": True, "baseline_img_s": None},
+    {"name": "swin_tiny lineareval 224px bs32",
+     "arch": "swin_tiny_patch4_window7_224",
+     "image_size": 224, "bs": 32, "lineareval": True,
+     "baseline_img_s": 356.0},        # BASELINE.md swin_tiny row
+    {"name": "resnext50_32x4d finetune 224px bs32", "arch": "resnext50_32x4d",
+     "image_size": 224, "bs": 32, "lineareval": False, "baseline_img_s": None},
+]
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true",
+                   help="first two configs only (smoke)")
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "zoo_bench_tpu.json"))
+    args = p.parse_args()
+    configs = ZOO_CONFIGS[:2] if args.quick else ZOO_CONFIGS
+    results = []
+    for cfg in configs:
+        try:
+            out = bench.bench_config(cfg)
+        except Exception as e:         # keep the sweep alive per-arch
+            out = {"name": cfg["name"], "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(out), flush=True)
+        results.append(out)
+        import jax
+        with open(args.out, "w") as f:
+            json.dump({"device": jax.devices()[0].device_kind,
+                       "configs": results}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

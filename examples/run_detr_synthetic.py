@@ -26,7 +26,7 @@ import jax.numpy as jnp
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
-    p.add_argument("--epochs", default=60, type=int)
+    p.add_argument("--epochs", default=300, type=int)
     p.add_argument("--lr", default=5e-4, type=float)
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "detr_synthetic_tpu.json"))
@@ -55,6 +55,10 @@ def main() -> None:
 
     backbone = SwinTransformer(SWIN_CONFIGS["swin_test"], dtype=jnp.float32,
                                features_only=True, name="backbone")
+    # lr 5e-4 / 2+2 layers measured the most stable full-set config (a
+    # 3+3-layer lr-1e-3 variant plateaued — more aux-loss sets destabilize
+    # the from-scratch matcher); ``run_detr_overfit.py`` is the fast
+    # pipeline-correctness check, this run is the slow-convergence record
     cfg = DETRConfig(num_classes=train_ds.num_classes, num_queries=16,
                      hidden_dim=64, num_heads=4, enc_layers=2, dec_layers=2,
                      ffn_dim=256)
