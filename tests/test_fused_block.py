@@ -13,7 +13,7 @@ import pytest
 # window_block
 # --------------------------------------------------------------------------
 
-def _wb_inputs(Bn=8, N=49, C=128, H=4, nW=4, seed=0):
+def _wb_inputs(Bn=8, N=64, C=128, H=4, nW=4, seed=0):
     rng = np.random.default_rng(seed)
     x = jnp.asarray(rng.normal(0, 1, (Bn, N, C)), jnp.float32)
     w_qkv = jnp.asarray(rng.normal(0, 0.05, (C, 3 * C)), jnp.float32)
@@ -95,10 +95,13 @@ def test_window_block_backward():
 
 def test_window_block_fits_gates():
     """Shape gates: lane alignment, mask tiling, the VMEM static budget
-    (swin stage-4 weights + 32-head bias table must NOT fit)."""
+    (swin stage-4 weights + 32-head bias table must NOT fit), and the
+    sublane-aligned-N requirement (window-7's N=49 is a Mosaic
+    'unsupported shape cast' — must fall back)."""
     from vit_torch_tpu.ops.window_block import fits
-    assert not fits(8, 49, 96, 3, None)          # C not lane-aligned
-    assert not fits(7, 49, 128, 4, 4)            # Bn not tiled by nW
+    assert not fits(8, 64, 96, 3, None)          # C not lane-aligned
+    assert not fits(7, 64, 128, 4, 4)            # Bn not tiled by nW
+    assert not fits(2048, 49, 128, 4, 64)        # swin_tiny_224: N=49
     assert fits(2048, 144, 128, 4, 64)           # swin_base_384 stage 1
     assert not fits(32, 144, 1024, 32, 1)        # stage 4: static budget
 

@@ -261,6 +261,12 @@ def fits(Bn: int, N: int, C: int, num_heads: int, nW: Optional[int]) -> bool:
     """True when the fused window-block kernel can run at these shapes."""
     if C % num_heads or C % _LANE:
         return False
+    if N % 16:
+        # the in-kernel (WB·N, D) → (WB, N, D) head reshape needs a
+        # sublane-aligned N — Mosaic rejects e.g. window-7's N=49
+        # ("unsupported shape cast"); window-7 configs fall back to the
+        # attention-only kernel (ops/window_attention.py)
+        return False
     if nW is not None and Bn % nW:
         return False
     return pick_window_block(nW if nW is not None else min(Bn, 64),
