@@ -203,6 +203,44 @@ def test_detr_forward_shapes():
     assert float(out["pred_boxes"].max()) <= 1.0
 
 
+def test_detection_train_step_with_drop_path():
+    """Real backbone configs have drop_path_rate > 0 — the train steps must
+    supply the dropout rng (regression: InvalidRngError with any non-test
+    swin config)."""
+    import dataclasses
+    import numpy as np
+    from vit_torch_tpu.detection.detr import DETR, DETRConfig
+    from vit_torch_tpu.detection.engine import DetectionTrainer
+    from vit_torch_tpu.detection.matcher import hungarian_match
+    from vit_torch_tpu.models.swin import SWIN_CONFIGS, SwinTransformer
+    scfg = dataclasses.replace(SWIN_CONFIGS["swin_test"], drop_path_rate=0.2)
+    backbone = SwinTransformer(scfg, dtype=jnp.float32, features_only=True,
+                               name="backbone")
+    cfg = DETRConfig(num_classes=3, num_queries=8, hidden_dim=32,
+                     num_heads=4, enc_layers=1, dec_layers=1, ffn_dim=64)
+    model = DETR(cfg, backbone, dtype=jnp.float32)
+    size = 32
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)),
+                        True)["params"]
+    tr = DetectionTrainer(model, params, image_size=size, num_classes=3,
+                          lr=1e-4, augment=False)
+    batch = {
+        "image": np.zeros((2, size, size, 3), np.float32),
+        "boxes": np.asarray([[[2, 2, 12, 12]] + [[0] * 4] * 3] * 2,
+                            np.float32),
+        "labels": np.ones((2, 4), np.int32),
+        "box_mask": np.asarray([[1, 0, 0, 0]] * 2, np.float32),
+        "mask": np.ones((2,), np.float32),
+    }
+    rng = jax.random.PRNGKey(1)
+    costs = np.asarray(tr._forward_costs(tr.params, batch, rng))
+    assign = np.stack([hungarian_match(costs[li], batch["box_mask"])
+                       for li in range(costs.shape[0])])
+    _, _, logs = tr._train_step(tr.params, tr.opt_state, batch,
+                                jnp.asarray(assign), rng)
+    assert np.isfinite(float(logs["loss_total"]))
+
+
 def test_coco_smoke_end_to_end(tmp_path):
     """--test equivalent: 1 epoch on synthetic COCO through the full CLI."""
     from vit_torch_tpu.cli.coco import main

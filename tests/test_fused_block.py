@@ -95,15 +95,46 @@ def test_window_block_backward():
 
 def test_window_block_fits_gates():
     """Shape gates: lane alignment, mask tiling, the VMEM static budget
-    (swin stage-4 weights + 32-head bias table must NOT fit), and the
-    sublane-aligned-N requirement (window-7's N=49 is a Mosaic
-    'unsupported shape cast' — must fall back)."""
+    (swin stage-4 weights + 32-head bias table must NOT fit); window-7's
+    N=49 fits via sublane padding."""
     from vit_torch_tpu.ops.window_block import fits
-    assert not fits(8, 64, 96, 3, None)          # C not lane-aligned
+    assert not fits(8, 64, 120, 3, None)         # C not a 32-lane granule
+    assert fits(8, 64, 96, 3, None)              # swin_tiny stage 1 (C=96)
     assert not fits(7, 64, 128, 4, 4)            # Bn not tiled by nW
-    assert not fits(2048, 49, 128, 4, 64)        # swin_tiny_224: N=49
+    assert fits(2048, 49, 128, 4, 64)            # swin_base_224: padded
     assert fits(2048, 144, 128, 4, 64)           # swin_base_384 stage 1
     assert not fits(32, 144, 1024, 32, 1)        # stage 4: static budget
+
+
+@pytest.mark.parametrize("masked,C", [(True, 128), (False, 128),
+                                      (True, 96)])
+def test_window_block_padded_window(masked, C):
+    """Window-7 shapes (N=49, sublane-padded in the wrapper) match the
+    unpadded XLA reference in forward and gradients — incl. the
+    non-lane-aligned C=96 (swin_tiny stage 1)."""
+    from vit_torch_tpu.ops.window_block import window_block
+    x, w_qkv, b_qkv, bias, mask, w_proj, b_proj = _wb_inputs(N=49, C=C)
+    H = 4
+    m = mask if masked else None
+    ours = window_block(x, w_qkv, b_qkv, bias, m, w_proj, b_proj,
+                        num_heads=H)
+    ref = _wb_ref(x, w_qkv, b_qkv, bias, m, w_proj, b_proj, H)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+    def loss_ours(x, w_qkv, bias):
+        return jnp.sum(window_block(x, w_qkv, b_qkv, bias, m, w_proj,
+                                    b_proj, num_heads=H) ** 2)
+
+    def loss_ref(x, w_qkv, bias):
+        return jnp.sum(_wb_ref(x, w_qkv, b_qkv, bias, m, w_proj,
+                               b_proj, H) ** 2)
+
+    go = jax.grad(loss_ours, argnums=(0, 1, 2))(x, w_qkv, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w_qkv, bias)
+    for name, a, b in zip(("dx", "dw_qkv", "dbias"), go, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3, err_msg=name)
 
 
 def test_window_block_in_swin_model(monkeypatch):

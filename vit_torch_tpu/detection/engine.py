@@ -160,12 +160,14 @@ class DetectionTrainer:
         def train_step(params, opt_state, batch, assign, rng):
             raw, boxes, box_mask, gt_masks = _augmented(
                 batch, rng, with_masks=self.masks)
+            drop_rng = jax.random.fold_in(rng, 1)
             targets = _prep_targets(batch, image_size, boxes=boxes,
                                     box_mask=box_mask)
 
             def loss_fn(p):
                 images = normalize(raw, **norm)
-                outputs = model.apply({"params": p}, images, False)
+                outputs = model.apply({"params": p}, images, False,
+                                      rngs={"dropout": drop_rng})
                 layers = outputs.get("aux_outputs", []) + [outputs]
                 total = 0.0
                 logs = {}
@@ -368,17 +370,20 @@ class FasterRCNNTrainer:
                 else:
                     raw, boxes, _, keypoints = flipped
 
+            drop_rng = jax.random.fold_in(rng, 1)
+
             def loss_fn(p):
                 images = normalize(raw, **norm)
                 variables = {"params": p, **model_state}
                 mutable = list(model_state.keys())
+                rngs = {"dropout": drop_rng}
                 if mutable:
                     outputs, new_ms = model.apply(variables, images,
                                                   deterministic=False,
-                                                  mutable=mutable)
+                                                  mutable=mutable, rngs=rngs)
                 else:
                     outputs = model.apply(variables, images,
-                                          deterministic=False)
+                                          deterministic=False, rngs=rngs)
                     new_ms = {}
                 targets = {"boxes": boxes,
                            "labels": jnp.asarray(batch["labels"]),

@@ -104,7 +104,8 @@ def pick_window_block(nW_img: int, Bn: int, N: int, C: int, H: int,
 # forward kernel
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(*refs, num_heads: int, scale: float, has_mask: bool):
+def _fwd_kernel(*refs, num_heads: int, scale: float, has_mask: bool,
+                kv_len: int):
     if has_mask:
         (x_ref, wqkv_ref, bqkv_ref, bias_ref, mask_ref, wproj_ref,
          bproj_ref, o_ref) = refs
@@ -129,6 +130,9 @@ def _fwd_kernel(*refs, num_heads: int, scale: float, has_mask: bool):
         s = s + bias_ref[h].astype(jnp.float32)[None]
         if has_mask:
             s = s + mask
+        if kv_len < N:                     # padded window tokens (static)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            s = jnp.where(col < kv_len, s, -1e30)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -144,7 +148,7 @@ def _fwd_kernel(*refs, num_heads: int, scale: float, has_mask: bool):
 
 
 def _fwd_impl(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads, scale,
-              wb):
+              wb, kv_len):
     Bn, N, C = x.shape
     has_mask = mask is not None
     grid = (Bn // wb,)
@@ -169,7 +173,7 @@ def _fwd_impl(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads, scale,
     args.extend([w_proj, b_proj])
     return pl.pallas_call(
         functools.partial(_fwd_kernel, num_heads=num_heads, scale=scale,
-                          has_mask=has_mask),
+                          has_mask=has_mask, kv_len=kv_len),
         out_shape=jax.ShapeDtypeStruct((Bn, N, C), x.dtype),
         grid=grid,
         in_specs=in_specs,
@@ -185,10 +189,16 @@ def _fwd_impl(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads, scale,
 # --------------------------------------------------------------------------
 
 def _ref_forward(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads,
-                 scale):
-    """qkv matmul (XLA) → fused window-attention kernel → proj matmul."""
+                 scale, kv_len=None):
+    """qkv matmul (XLA) → fused window-attention kernel → proj matmul.
+    ``kv_len`` (< N for lane-padded windows) reproduces the fused kernel's
+    padded-key masking so the recomputed backward matches the forward."""
     Bn, N, C = x.shape
     D = C // num_heads
+    if kv_len is not None and kv_len < N:
+        km = jnp.where(jnp.arange(N)[None, None, :] >= kv_len, -1e30, 0.0)
+        mask = (jnp.broadcast_to(km, (1, N, N)) if mask is None
+                else mask + km)
     qkv = jnp.dot(x, w_qkv) + b_qkv[0].astype(x.dtype)
     qkv = qkv.reshape(Bn, N, 3, num_heads, D)
     out = window_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], bias,
@@ -197,26 +207,29 @@ def _ref_forward(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads,
     return jnp.dot(out, w_proj) + b_proj[0].astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def _window_block(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads,
-                  scale, wb):
+                  scale, wb, kv_len):
     return _fwd_impl(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads,
-                     scale, wb)
+                     scale, wb, kv_len)
 
 
 def _wb_fwd(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads, scale,
-            wb):
+            wb, kv_len):
     out = _fwd_impl(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads,
-                    scale, wb)
+                    scale, wb, kv_len)
     return out, (x, w_qkv, b_qkv, bias, mask, w_proj, b_proj)
 
 
-def _wb_bwd(num_heads, scale, wb, res, do):
+def _wb_bwd(num_heads, scale, wb, kv_len, res, do):
+    # padded window rows (kv_len < N) carry zero cotangents: the public
+    # wrapper slices them off, so `do` arrives zero there and the recompute
+    # path's key contributions cancel in the bias/mask padding (zeros)
     x, w_qkv, b_qkv, bias, mask, w_proj, b_proj = res
 
     def fwd(x, w_qkv, b_qkv, bias, w_proj, b_proj):
         return _ref_forward(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
-                            num_heads, scale)
+                            num_heads, scale, kv_len)
 
     _, vjp = jax.vjp(fwd, x, w_qkv, b_qkv, bias, w_proj, b_proj)
     dx, dw_qkv, db_qkv, dbias, dw_proj, db_proj = vjp(do)
@@ -239,12 +252,25 @@ def window_block(x: jax.Array, w_qkv: jax.Array,
 
     Differentiable in x / weights / biases / bias-table gather output.
     Call :func:`fits` first — raises if the working set exceeds VMEM.
+
+    Windows whose token count is not sublane-aligned (window-7's N=49 —
+    the in-kernel (WB·N, D) → (WB, N, D) head reshape is a Mosaic
+    "unsupported shape cast" there) are padded to the next multiple of 16;
+    padded keys are masked in-kernel and padded query rows sliced off.
     """
     Bn, N, C = x.shape
     if scale is None:
         scale = (C // num_heads) ** -0.5
+    NP = _pad_sublane(N)
+    kv_len = N
+    if NP != N:
+        pad = NP - N
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)))
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, 0), (0, pad), (0, pad)))
     nW = mask.shape[0] if mask is not None else min(Bn, 64)
-    wb = pick_window_block(nW, Bn, N, C, num_heads, mask is not None)
+    wb = pick_window_block(nW, Bn, NP, C, num_heads, mask is not None)
     if wb == 0:
         raise ValueError("window_block working set exceeds VMEM; "
                          "check fits() before dispatching")
@@ -252,22 +278,25 @@ def window_block(x: jax.Array, w_qkv: jax.Array,
         b_qkv = jnp.zeros((3 * C,), x.dtype)
     if b_proj is None:
         b_proj = jnp.zeros((C,), x.dtype)
-    return _window_block(x, w_qkv, b_qkv.reshape(1, 3 * C), bias, mask,
-                         w_proj, b_proj.reshape(1, C), num_heads,
-                         float(scale), wb)
+    out = _window_block(x, w_qkv, b_qkv.reshape(1, 3 * C), bias, mask,
+                        w_proj, b_proj.reshape(1, C), num_heads,
+                        float(scale), wb, kv_len)
+    return out[:, :N] if NP != N else out
+
+
+def _pad_sublane(n: int) -> int:
+    return -(-n // 16) * 16
 
 
 def fits(Bn: int, N: int, C: int, num_heads: int, nW: Optional[int]) -> bool:
-    """True when the fused window-block kernel can run at these shapes."""
-    if C % num_heads or C % _LANE:
-        return False
-    if N % 16:
-        # the in-kernel (WB·N, D) → (WB, N, D) head reshape needs a
-        # sublane-aligned N — Mosaic rejects e.g. window-7's N=49
-        # ("unsupported shape cast"); window-7 configs fall back to the
-        # attention-only kernel (ops/window_attention.py)
+    """True when the fused window-block kernel can run at these shapes
+    (unaligned N is lane-padded by :func:`window_block`)."""
+    if C % num_heads or C % 32:
+        # head slices are 32-lane granules; C=96/192 (swin_tiny stages 1-2)
+        # compile and measure fine on v5e — full lane alignment not required
         return False
     if nW is not None and Bn % nW:
         return False
     return pick_window_block(nW if nW is not None else min(Bn, 64),
-                             Bn, N, C, num_heads, nW is not None) > 0
+                             Bn, _pad_sublane(N), C, num_heads,
+                             nW is not None) > 0
