@@ -81,6 +81,35 @@ def test_attention_bhnd_layout_matches(monkeypatch):
                 atol=5e-4, rtol=1e-3, err_msg=f"{mod}/{leaf}")
 
 
+def test_talking_heads_kernel_matches_xla(monkeypatch):
+    """Fused talking-heads kernel (ops/talking_heads.py) matches the XLA
+    einsum path through the CaiT module — forward and all param grads,
+    incl. a padded-N case (37 → 48)."""
+    from vit_torch_tpu.models.cait import TalkingHeadAttention
+    x = jnp.asarray(np.random.default_rng(9).normal(0, 1, (2, 37, 64)),
+                    jnp.float32)
+    m = TalkingHeadAttention(num_heads=4, dtype=jnp.float32)
+    monkeypatch.setenv("VITX_FUSED_TH", "0")
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    assert {"qkv", "proj", "proj_l_kernel", "proj_l_bias",
+            "proj_w_kernel", "proj_w_bias"} <= set(params)
+    ref = m.apply({"params": params}, x)
+    g_ref = jax.grad(lambda p: jnp.sum(m.apply({"params": p}, x) ** 2))(
+        params)
+    monkeypatch.setenv("VITX_FUSED_TH", "1")
+    ours = m.apply({"params": params}, x)
+    g_ours = jax.grad(lambda p: jnp.sum(m.apply({"params": p}, x) ** 2))(
+        params)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+    flat_o, _ = jax.tree_util.tree_flatten_with_path(g_ours)
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    for (path, a), (_, b) in zip(flat_o, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3,
+                                   err_msg=str(path))
+
+
 def test_attn_layout_paths_yield_to_seq_parallel(monkeypatch):
     """With a seq-sharded mesh active, the Attention layout/fusion fast
     paths must stand down so ring attention handles the sharded token axis

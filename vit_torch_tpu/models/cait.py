@@ -25,8 +25,22 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_torch_tpu.models.layers import (
-    Dtype, LayerNorm, Mlp, PatchEmbed, trunc_normal_init,
+    DenseParams, Dtype, LayerNorm, Mlp, PatchEmbed, trunc_normal_init,
 )
+
+
+def _use_fused_talking_heads(N: int, num_heads: int, head_dim: int) -> bool:
+    """Dispatch to the fused talking-heads kernel (``ops/talking_heads.py``).
+    VITX_FUSED_TH=1 forces it on (CPU interpret, golden tests), =0 off;
+    default is TPU-only, shapes permitting."""
+    import os
+    flag = os.environ.get("VITX_FUSED_TH", "")
+    if flag == "0":
+        return False
+    if flag != "1" and jax.default_backend() != "tpu":
+        return False
+    from vit_torch_tpu.ops.talking_heads import fits
+    return fits(N, num_heads, head_dim)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,25 +99,48 @@ class TalkingHeadAttention(nn.Module):
         B, N, C = x.shape
         H = self.num_heads
         d = C // H
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
-                       kernel_init=trunc_normal_init, name="qkv")(x)
+        w_qkv, b_qkv = DenseParams(3 * C, self.qkv_bias, name="qkv")(C)
+        w_proj, b_proj = DenseParams(C, name="proj")(C)
+        wl = self.param("proj_l_kernel", trunc_normal_init, (H, H), jnp.float32)
+        bl = self.param("proj_l_bias", nn.initializers.zeros, (H,), jnp.float32)
+        ww = self.param("proj_w_kernel", trunc_normal_init, (H, H), jnp.float32)
+        bw = self.param("proj_w_bias", nn.initializers.zeros, (H,), jnp.float32)
+        dt = self.dtype
+        if _use_fused_talking_heads(N, H, d):
+            # fused Pallas kernel: all heads' scores stay in VMEM across
+            # QKᵀ → proj_l mix → softmax → proj_w mix → PV (the XLA path
+            # materializes (B, H, N, N) fp32 score tensors in HBM around
+            # each stage); head-major q/k/v via einsum, as in
+            # models/layers.py:Attention
+            from vit_torch_tpu.ops.talking_heads import (
+                talking_heads_attention)
+            w3 = w_qkv.astype(dt).reshape(C, 3, H, d)
+            qh = jnp.einsum("bnc,chd->bhnd", x, w3[:, 0])
+            kh = jnp.einsum("bnc,chd->bhnd", x, w3[:, 1])
+            vh = jnp.einsum("bnc,chd->bhnd", x, w3[:, 2])
+            if b_qkv is not None:
+                b3 = b_qkv.astype(dt).reshape(3, H, 1, d)
+                qh, kh, vh = qh + b3[0], kh + b3[1], vh + b3[2]
+            out = talking_heads_attention(qh, kh, vh, wl, bl, ww, bw,
+                                          scale=d ** -0.5)
+            out = jnp.einsum("bhnd,hdc->bnc", out,
+                             w_proj.astype(dt).reshape(H, d, C))
+            return out + b_proj.astype(dt)
+        qkv = jnp.dot(x, w_qkv.astype(dt))
+        if b_qkv is not None:
+            qkv = qkv + b_qkv.astype(dt)
         qkv = qkv.reshape(B, N, 3, H, d)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32) * (d ** -0.5)
         # pre-softmax head mixing (proj_l)
-        wl = self.param("proj_l_kernel", trunc_normal_init, (H, H), jnp.float32)
-        bl = self.param("proj_l_bias", nn.initializers.zeros, (H,), jnp.float32)
         logits = jnp.einsum("bhqk,hg->bgqk", logits, wl) + bl[None, :, None, None]
         attn = jax.nn.softmax(logits, axis=-1)
         # post-softmax head mixing (proj_w)
-        ww = self.param("proj_w_kernel", trunc_normal_init, (H, H), jnp.float32)
-        bw = self.param("proj_w_bias", nn.initializers.zeros, (H,), jnp.float32)
         attn = jnp.einsum("bhqk,hg->bgqk", attn, ww) + bw[None, :, None, None]
         out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(self.dtype), v)
         out = out.reshape(B, N, C)
-        return nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_init,
-                        name="proj")(out)
+        return jnp.dot(out, w_proj.astype(dt)) + b_proj.astype(dt)
 
 
 class ClassAttention(nn.Module):
