@@ -81,9 +81,22 @@ def bench_frcnn(size: int = 512, bs: int = 8, steps: int = 20) -> dict:
         logs = step()
     float(logs["loss"])                  # fence
     dt = time.perf_counter() - t0
+
+    # chunked-scan mode: `steps` train steps in ONE dispatch
+    stacked = jax.tree.map(lambda a: jnp.stack([a] * steps), batch)
+    p, o, losses, ms, _ = trainer._train_chunk(
+        trainer.params, trainer.opt_state, stacked, rng, trainer.model_state)
+    float(losses["loss"][-1])            # compile + fence
+    t0 = time.perf_counter()
+    p, o, losses, ms, _ = trainer._train_chunk(
+        p, o, stacked, rng, ms)
+    float(losses["loss"][-1])
+    dt_scan = time.perf_counter() - t0
     return {"name": f"faster_rcnn resnext50 {size}px bs{bs}",
             "step_ms": round(1000 * dt / steps, 2),
-            "img_per_sec": round(steps * bs / dt, 2)}
+            "img_per_sec": round(steps * bs / dt, 2),
+            "step_ms_scan": round(1000 * dt_scan / steps, 2),
+            "img_per_sec_scan": round(steps * bs / dt_scan, 2)}
 
 
 def bench_detr(size: int = 512, bs: int = 8, steps: int = 20) -> dict:

@@ -153,6 +153,72 @@ def test_faster_rcnn_losses_and_grad():
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+def test_faster_rcnn_scan_epoch_matches_per_step():
+    """train_one_epoch_scan (K steps per dispatch) reproduces the per-step
+    path exactly: same rng split sequence, same final params/opt state."""
+    from vit_torch_tpu.detection.engine import FasterRCNNTrainer
+    model, variables = _build_model()
+    rng = np.random.default_rng(3)
+
+    def make_loader():
+        batches = []
+        for i in range(4):
+            batches.append({
+                "image": rng0["image"][i],
+                "boxes": np.asarray([[[8.0, 8, 24, 24], [0, 0, 0, 0]]] * 2,
+                                    np.float32),
+                "labels": np.asarray([[1, 0]] * 2, np.int32),
+                "box_mask": np.asarray([[1.0, 0.0]] * 2, np.float32),
+                "mask": np.ones((2,), np.float32),
+            })
+        return batches
+
+    rng0 = {"image": rng.normal(0, 1, (4, 2, 64, 64, 3)).astype(np.float32)}
+
+    def run(scan):
+        tr = FasterRCNNTrainer(model, variables["params"], cfg=CFG, lr=1e-3,
+                               augment=True)
+        tr.model_state = {k: v for k, v in variables.items()
+                          if k != "params"}
+        loader = make_loader()
+        if scan:
+            logs = tr.train_one_epoch_scan(loader, epoch=1,
+                                           steps_per_dispatch=2,
+                                           warmup=False)
+        else:
+            logs = tr.train_one_epoch(loader, epoch=1, warmup=False)
+        return tr.params, logs
+
+    p_step, logs_step = run(scan=False)
+    p_scan, logs_scan = run(scan=True)
+    flat_a = jax.tree.leaves(p_step)
+    flat_b = jax.tree.leaves(p_scan)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+    assert abs(logs_step["loss_total"] - logs_scan["loss_total"]) < 1e-4
+
+
+def test_faster_rcnn_scan_epoch_tail_batches():
+    """A batch count that does not fill the last chunk runs the tail
+    through the per-step path and still counts every batch."""
+    from vit_torch_tpu.detection.engine import FasterRCNNTrainer
+    model, variables = _build_model()
+    rng = np.random.default_rng(4)
+    batches = [{
+        "image": rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32),
+        "boxes": np.asarray([[[8.0, 8, 24, 24], [0, 0, 0, 0]]] * 2,
+                            np.float32),
+        "labels": np.asarray([[1, 0]] * 2, np.int32),
+        "box_mask": np.asarray([[1.0, 0.0]] * 2, np.float32),
+        "mask": np.ones((2,), np.float32),
+    } for _ in range(3)]
+    tr = FasterRCNNTrainer(model, variables["params"], cfg=CFG, lr=1e-3)
+    tr.model_state = {k: v for k, v in variables.items() if k != "params"}
+    logs = tr.train_one_epoch_scan(batches, epoch=0, steps_per_dispatch=2)
+    assert np.isfinite(logs["loss_total"])
+
+
 def test_faster_rcnn_predict_shapes():
     model, variables = _build_model()
     x = jnp.zeros((2, 64, 64, 3), jnp.float32)

@@ -38,6 +38,9 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="add a Keypoint R-CNN head (faster_rcnn only) and "
                         "score the keypoints iou_type (reference "
                         "object/coco_utils.py:222-251 get_coco_kp)")
+    p.add_argument("--scan", default=1, type=int,
+                   help="train steps per XLA dispatch (faster_rcnn only; "
+                        ">1 enables chunked-scan training)")
     p.add_argument("--masks", action="store_true",
                    help="train the DETR instance-mask head (DETRsegm)")
     p.add_argument("--image_size", default=512, type=int)
@@ -323,8 +326,15 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         sched_lr = args.lr * args.lr_gamma ** (epoch // max(args.lr_step, 1))
         trainer.base_lr = sched_lr        # epoch-0 warmup ramps to this
         trainer.set_lr(sched_lr)
-        train_logs = trainer.train_one_epoch(train_loader, epoch,
-                                             log_fn=log_fn)
+        if args.scan > 1 and hasattr(trainer, "train_one_epoch_scan"):
+            # chunked-scan training (FasterRCNN only: its step has no host
+            # round-trip) — amortizes per-dispatch latency
+            train_logs = trainer.train_one_epoch_scan(
+                train_loader, epoch, steps_per_dispatch=args.scan,
+                log_fn=log_fn)
+        else:
+            train_logs = trainer.train_one_epoch(train_loader, epoch,
+                                                 log_fn=log_fn)
         print()
         metrics = trainer.evaluate(val_loader, val_ds.coco, **eval_kw)
         row = {"epoch": epoch, "time": time.time() - t0,

@@ -409,7 +409,26 @@ class FasterRCNNTrainer:
                                        jnp.asarray(batch["scale"]),
                                        jnp.asarray(batch["pad"]))
 
+        @jax.jit
+        def train_chunk(params, opt_state, batches, rng, model_state):
+            """K train steps in ONE dispatch (lax.scan over stacked
+            batches) — FasterRCNN's step has no host round-trip (device
+            matching/sampling), so whole chunks amortize the per-dispatch
+            latency like the classification epoch-scan (train/scan.py).
+            The rng split sequence matches train_one_epoch's exactly."""
+            def body(carry, batch):
+                params, opt_state, model_state, rng = carry
+                rng, step_rng = jax.random.split(rng)
+                params, opt_state, losses, model_state = train_step(
+                    params, opt_state, batch, step_rng, model_state)
+                return (params, opt_state, model_state, rng), losses
+
+            (params, opt_state, model_state, rng), losses = jax.lax.scan(
+                body, (params, opt_state, model_state, rng), batches)
+            return params, opt_state, losses, model_state, rng
+
         self._train_step = train_step
+        self._train_chunk = train_chunk
         self._predict_fn = predict
         self.model_state: Dict = {}
 
@@ -447,6 +466,72 @@ class FasterRCNNTrainer:
             count += 1
             if log_fn and (i % print_freq == 0 or i == n_batches - 1):
                 log_fn(i, n_batches, logs)
+        out = {k: v / max(count, 1) for k, v in totals.items()}
+        out["loss_total"] = out.pop("loss")
+        return out
+
+    def train_one_epoch_scan(self, loader, epoch: int,
+                             steps_per_dispatch: int = 8,
+                             warmup: bool = True,
+                             log_fn: Optional[Callable] = None,
+                             ) -> Dict[str, float]:
+        """Chunked-scan epoch: ``steps_per_dispatch`` train steps per XLA
+        dispatch.  Numerically identical to :meth:`train_one_epoch` (same
+        rng split sequence) except epoch-0 warmup updates the LR once per
+        chunk instead of per step; trailing batches that do not fill a
+        chunk run through the per-step path."""
+        n_batches = len(loader)
+        totals: Dict[str, float] = {}
+        count = 0
+        buf: list = []
+        done = 0
+
+        def flush():
+            nonlocal done, count
+            if not buf:
+                return
+            if len(buf) < steps_per_dispatch:
+                for batch in buf:     # tail: per-step (no extra compile)
+                    self.rng, step_rng = jax.random.split(self.rng)
+                    self.params, self.opt_state, logs, self.model_state = \
+                        self._train_step(self.params, self.opt_state, batch,
+                                         step_rng, self.model_state)
+                    _accum({k: float(v) for k, v in logs.items()})
+                buf.clear()
+                return
+            batches = {k: np.stack([b[k] for b in buf])
+                       for k in buf[0].keys()}
+            (self.params, self.opt_state, losses, self.model_state,
+             self.rng) = self._train_chunk(self.params, self.opt_state,
+                                           batches, self.rng,
+                                           self.model_state)
+            losses = {k: np.asarray(v) for k, v in losses.items()}
+            for i in range(len(buf)):
+                _accum({k: float(v[i]) for k, v in losses.items()})
+            buf.clear()
+
+        def _accum(logs):
+            nonlocal count, done
+            if not np.isfinite(logs["loss"]):
+                print(f"Loss is {logs['loss']}, stopping training")
+                print(logs)
+                sys.exit(1)
+            for k, v in logs.items():
+                totals[k] = totals.get(k, 0.0) + v
+            count += 1
+            done += 1
+            if log_fn and (done % steps_per_dispatch == 0
+                           or done == n_batches):
+                log_fn(done - 1, n_batches, logs)
+
+        for batch in loader:
+            if warmup and epoch == 0:
+                frac = (done + len(buf) + 1) / max(min(n_batches, 1000), 1)
+                self.set_lr(self.base_lr * min(frac, 1.0))
+            buf.append(batch)
+            if len(buf) == steps_per_dispatch:
+                flush()
+        flush()
         out = {k: v / max(count, 1) for k, v in totals.items()}
         out["loss_total"] = out.pop("loss")
         return out
