@@ -182,7 +182,11 @@ def _attn_bhnd_layout(x) -> bool:
     if jax.default_backend() != "tpu":
         return False
     threshold = _flash_min_seq()
-    return threshold > 0 and x.shape[1] >= threshold
+    if threshold <= 0:
+        return False
+    N, C = x.shape[1], x.shape[2]
+    # same width-aware crossover as ops.attention._use_pallas
+    return N >= threshold or (2 * N >= threshold and C >= 768)
 
 
 class Attention(nn.Module):

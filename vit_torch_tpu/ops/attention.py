@@ -65,14 +65,19 @@ def _use_pallas(q: jax.Array) -> bool:
 
     Short ViT sequences fit comfortably in VMEM and XLA's fused
     softmax-attention is already near speed-of-light there; the fused kernel
-    wins once the N×N score matrix stops fitting."""
+    wins once the N×N score matrix stops fitting.  Wide models cross over
+    earlier: at N=197 (224px / patch 16) the kernel path measured +5% for
+    C=768 (deit_base 1912→2012 img/s) but −9% for C=384 (dino_vits16), so
+    half-threshold sequences dispatch only when H·D ≥ 768."""
     if jax.default_backend() not in ("tpu",):
         return False
     threshold = _flash_min_seq()
     if threshold <= 0:
         return False
     b, n, h, d = q.shape
-    return n >= threshold and d <= 256
+    if d > 256:
+        return False
+    return n >= threshold or (2 * n >= threshold and h * d >= 768)
 
 
 def dot_product_attention(
