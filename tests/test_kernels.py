@@ -121,12 +121,12 @@ def test_attn_layout_paths_yield_to_seq_parallel(monkeypatch):
     x = jnp.zeros((2, 512, 128))
     monkeypatch.setenv("VITX_ATTN_BHND", "1")
     monkeypatch.setenv("VITX_FUSED_ATTN", "1")
-    assert _attn_bhnd_layout(x) and _attn_fused_block(x, 4)
+    assert _attn_bhnd_layout(x, 4) and _attn_fused_block(x, 4)
     mesh = make_mesh("data=4,seq=2")
     with sequence_parallel(mesh):
-        assert not _attn_bhnd_layout(x)
+        assert not _attn_bhnd_layout(x, 4)
         assert not _attn_fused_block(x, 4)
-    assert _attn_bhnd_layout(x)
+    assert _attn_bhnd_layout(x, 4)
 
 
 def test_dispatcher_uses_xla_on_cpu():

@@ -486,8 +486,13 @@ class FasterRCNNTrainer:
         buf: list = []
         done = 0
 
+        # only the keys train_step consumes — the loader's eval metadata
+        # (image_id/scale/pad/orig_size) would otherwise be stacked and
+        # shipped to the device every chunk for nothing
+        step_keys = {"image", "boxes", "labels", "box_mask", "mask",
+                     "gt_keypoints", "gt_masks"}
+
         def flush():
-            nonlocal done, count
             if not buf:
                 return
             if len(buf) < steps_per_dispatch:
@@ -500,7 +505,7 @@ class FasterRCNNTrainer:
                 buf.clear()
                 return
             batches = {k: np.stack([b[k] for b in buf])
-                       for k in buf[0].keys()}
+                       for k in buf[0].keys() if k in step_keys}
             (self.params, self.opt_state, losses, self.model_state,
              self.rng) = self._train_chunk(self.params, self.opt_state,
                                            batches, self.rng,

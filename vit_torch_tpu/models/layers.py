@@ -162,13 +162,14 @@ def _attn_fused_block(x, num_heads: int) -> bool:
     return fits(x.shape[1], x.shape[2], num_heads)
 
 
-def _attn_bhnd_layout(x) -> bool:
+def _attn_bhnd_layout(x, num_heads: int) -> bool:
     """Dispatch the (B, H, N, D)-layout attention path (einsum-formed q/k/v
     feeding the flash kernel without host-visible transposes).
     VITX_ATTN_BHND=1 forces it on (CPU interpret, tests), =0 off; default is
-    TPU-only at flash-kernel sequence lengths."""
+    TPU-only, per the shared ``ops.attention.flash_profitable`` crossover."""
     import os
-    from vit_torch_tpu.ops.attention import _active_seq_mesh, _flash_min_seq
+    from vit_torch_tpu.ops.attention import (
+        _active_seq_mesh, flash_profitable)
     if _active_seq_mesh() is not None:
         # sequence-parallel training: the token axis is sharded — attention
         # must route through ring attention (ops/attention.py dispatch),
@@ -181,12 +182,8 @@ def _attn_bhnd_layout(x) -> bool:
         return True
     if jax.default_backend() != "tpu":
         return False
-    threshold = _flash_min_seq()
-    if threshold <= 0:
-        return False
     N, C = x.shape[1], x.shape[2]
-    # same width-aware crossover as ops.attention._use_pallas
-    return N >= threshold or (2 * N >= threshold and C >= 768)
+    return flash_profitable(N, num_heads, C // num_heads)
 
 
 class Attention(nn.Module):
@@ -217,7 +214,7 @@ class Attention(nn.Module):
                 None if b_qkv is None else b_qkv.astype(dt),
                 w_proj.astype(dt), b_proj.astype(dt),
                 num_heads=H, scale=scale)
-        elif _attn_bhnd_layout(x):
+        elif _attn_bhnd_layout(x, H):
             # Form q/k/v directly in the flash kernel's (B, H, N, D) layout
             # via einsum so XLA folds the head transpose into the qkv-matmul
             # epilogue instead of materializing (B, N, 3, H, D) + 3

@@ -60,8 +60,9 @@ def _active_seq_mesh():
     return None
 
 
-def _use_pallas(q: jax.Array) -> bool:
-    """Heuristic: use the Pallas flash kernel on TPU for long-enough sequences.
+def flash_profitable(n: int, num_heads: int, head_dim: int) -> bool:
+    """Shared crossover heuristic for the Pallas flash kernel (used by the
+    dispatcher below AND models.layers._attn_bhnd_layout — keep ONE copy).
 
     Short ViT sequences fit comfortably in VMEM and XLA's fused
     softmax-attention is already near speed-of-light there; the fused kernel
@@ -69,15 +70,18 @@ def _use_pallas(q: jax.Array) -> bool:
     earlier: at N=197 (224px / patch 16) the kernel path measured +5% for
     C=768 (deit_base 1912→2012 img/s) but −9% for C=384 (dino_vits16), so
     half-threshold sequences dispatch only when H·D ≥ 768."""
+    threshold = _flash_min_seq()
+    if threshold <= 0 or head_dim > 256:
+        return False
+    return (n >= threshold
+            or (2 * n >= threshold and num_heads * head_dim >= 768))
+
+
+def _use_pallas(q: jax.Array) -> bool:
     if jax.default_backend() not in ("tpu",):
         return False
-    threshold = _flash_min_seq()
-    if threshold <= 0:
-        return False
     b, n, h, d = q.shape
-    if d > 256:
-        return False
-    return n >= threshold or (2 * n >= threshold and h * d >= 768)
+    return flash_profitable(n, h, d)
 
 
 def dot_product_attention(

@@ -27,19 +27,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vit_torch_tpu.ops.flash_attention import _interpret, _round_up
+
 _LANE = 128
 # per-program fp32 score stacks: 4 lists of H × (N, N_pad) tiles
 _VMEM_BUDGET = 11 * 1024 * 1024
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
 def fits(N: int, num_heads: int, head_dim: int) -> bool:
     """True when one batch element's talking-heads stacks fit VMEM."""
-    np_ = -(-N // _LANE) * _LANE
-    dp = -(-head_dim // _LANE) * _LANE
+    np_ = _round_up(N, _LANE)
+    dp = _round_up(head_dim, _LANE)
     scores = 4 * num_heads * N * np_ * 4
     qkv_io = 2 * 4 * num_heads * N * dp * 2
     return scores + qkv_io <= _VMEM_BUDGET
@@ -139,7 +137,7 @@ def talking_heads_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     B, H, N, D = q.shape
     if scale is None:
         scale = D ** -0.5
-    NP = -(-N // 16) * 16
+    NP = _round_up(N, 16)
     kv_len = N
     if NP != N:
         padspec = ((0, 0), (0, 0), (0, NP - N), (0, 0))

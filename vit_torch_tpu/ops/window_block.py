@@ -197,8 +197,16 @@ def _ref_forward(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads,
     D = C // num_heads
     if kv_len is not None and kv_len < N:
         km = jnp.where(jnp.arange(N)[None, None, :] >= kv_len, -1e30, 0.0)
-        mask = (jnp.broadcast_to(km, (1, N, N)) if mask is None
-                else mask + km)
+        if mask is None:
+            # tile to a window count that divides Bn so window_attention's
+            # chunk picker keeps fat multi-window programs (a (1, N, N)
+            # mask would force wb=1 — one window per program)
+            g = min(Bn, 64)
+            while Bn % g:
+                g -= 1
+            mask = jnp.broadcast_to(km, (g, N, N))
+        else:
+            mask = mask + km
     qkv = jnp.dot(x, w_qkv) + b_qkv[0].astype(x.dtype)
     qkv = qkv.reshape(Bn, N, 3, num_heads, D)
     out = window_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], bias,
