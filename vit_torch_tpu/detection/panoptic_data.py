@@ -1,0 +1,169 @@
+"""Panoptic-PNG COCO dataset (reference
+``object_detr/datasets/coco_panoptic.py``, reachable there via
+``--dataset_file coco_panoptic``).
+
+Panoptic annotations store one PNG per image whose RGB triplet encodes the
+segment id (``id = R + 256·G + 256²·B`` — panopticapi's ``rgb2id``); the
+JSON carries per-segment ``category_id``/``iscrowd``.  This loader turns
+each segment into an instance mask, derives boxes from mask extents
+(``masks_to_boxes``), and emits the same fixed-shape letterboxed batch
+schema as :class:`~vit_torch_tpu.detection.coco_data.CocoDetectionDataset`
+(image / boxes / labels / box_mask / gt_masks / scale / pad / …), so the
+DETR ``--masks`` trainer and the segm/PQ evaluators consume it unchanged.
+
+TPU-first: fixed max_boxes segment slots per image, NEAREST-resized masks
+pasted into the letterbox canvas (same geometry as the image).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from vit_torch_tpu.detection.coco_data import letterbox_params
+
+
+def rgb2id(color: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 panoptic PNG → (H, W) int32 segment-id map
+    (panopticapi semantics: id = R + 256 G + 256² B)."""
+    color = color.astype(np.int32)
+    return color[..., 0] + 256 * color[..., 1] + 256 * 256 * color[..., 2]
+
+
+def id2rgb(ids: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`rgb2id` (used by tests / writers)."""
+    ids = ids.astype(np.int32)
+    return np.stack([ids % 256, (ids // 256) % 256, ids // (256 * 256)],
+                    axis=-1).astype(np.uint8)
+
+
+def masks_to_boxes(masks: np.ndarray) -> np.ndarray:
+    """(N, H, W) binary masks → (N, 4) xyxy boxes of the mask extents
+    (reference ``object_detr/util/box_ops.py:masks_to_boxes``); empty
+    masks give zero boxes."""
+    n = masks.shape[0]
+    boxes = np.zeros((n, 4), np.float32)
+    for i, m in enumerate(masks):
+        ys, xs = np.nonzero(m)
+        if len(xs):
+            boxes[i] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+    return boxes
+
+
+class CocoPanopticDataset:
+    """Index over a panoptic-annotated COCO directory.
+
+    ``images_dir`` holds the JPEGs, ``ann_dir`` the per-image segment PNGs,
+    ``ann_file`` the panoptic JSON (``images`` + ``annotations`` with
+    ``file_name``/``segments_info``, ``categories``).
+    """
+
+    def __init__(self, images_dir: str, ann_dir: str, ann_file: str,
+                 image_size: int = 512, max_boxes: int = 64,
+                 limit: int = 0, things_only: bool = False) -> None:
+        self.images_dir = images_dir
+        self.ann_dir = ann_dir
+        self.image_size = image_size
+        self.max_boxes = max_boxes
+        self.things_only = things_only
+        with open(ann_file) as f:
+            self.meta = json.load(f)
+        # align images ↔ annotations by id (the reference sorts by
+        # file_name; id-keyed lookup is equivalent and order-robust)
+        self.imgs = {img["id"]: img for img in self.meta["images"]}
+        anns = self.meta.get("annotations", [])
+        self.anns = {a["image_id"]: a for a in anns}
+        self.ids = sorted(self.anns.keys() if anns else self.imgs.keys())
+        if limit and limit > 0:
+            self.ids = self.ids[:limit]
+        cats = self.meta.get("categories", [])
+        self.cats = {c["id"]: c for c in cats}
+        cat_ids = sorted(c["id"] for c in cats) if cats else sorted(
+            {s["category_id"] for a in anns for s in a["segments_info"]})
+        if things_only:
+            cat_ids = [c for c in cat_ids
+                       if self.cats.get(c, {}).get("isthing", 1)]
+        self.category_ids = cat_ids
+        self.cat_to_label = {c: i + 1 for i, c in enumerate(cat_ids)}
+        self.label_to_cat = {v: k for k, v in self.cat_to_label.items()}
+        self.num_classes = len(cat_ids)
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def _segment_masks(self, ann: dict, scale, pad_x, pad_y, nh, nw):
+        """Decode the segment PNG and cut per-segment letterboxed masks."""
+        from PIL import Image
+        png = np.asarray(Image.open(
+            os.path.join(self.ann_dir, ann["file_name"])).convert("RGB"))
+        id_map = rgb2id(png)
+        # NEAREST resize of the id map keeps segment ids intact
+        small = np.asarray(Image.fromarray(id_map.astype(np.int32),
+                                           mode="I").resize(
+            (nw, nh), Image.NEAREST))
+        S = self.image_size
+        canvas = np.zeros((S, S), np.int32)
+        canvas[pad_y:pad_y + nh, pad_x:pad_x + nw] = small
+        return canvas
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        from PIL import Image
+        img_id = self.ids[idx]
+        ann = self.anns.get(img_id)
+        info = self.imgs[img_id]
+        # panoptic file_name is the PNG name; the image is the .jpg twin
+        img_name = info.get("file_name",
+                            ann["file_name"].replace(".png", ".jpg"))
+        if img_name.endswith(".png"):
+            img_name = img_name.replace(".png", ".jpg")
+        img = np.asarray(Image.open(
+            os.path.join(self.images_dir, img_name)).convert("RGB"))
+        h, w = img.shape[:2]
+        S = self.image_size
+        scale, pad_x, pad_y, nh, nw = letterbox_params(h, w, S)
+        resized = np.asarray(
+            Image.fromarray(img).resize((nw, nh), Image.BILINEAR), np.uint8)
+        image = np.full((S, S, 3), 114, np.uint8)
+        image[pad_y:pad_y + nh, pad_x:pad_x + nw] = resized
+
+        boxes = np.zeros((self.max_boxes, 4), np.float32)
+        labels = np.zeros((self.max_boxes,), np.int32)
+        box_mask = np.zeros((self.max_boxes,), np.float32)
+        masks = np.zeros((self.max_boxes, S, S), np.uint8)
+        if ann is not None:
+            seg_map = self._segment_masks(ann, scale, pad_x, pad_y, nh, nw)
+            segments = [s for s in ann["segments_info"]
+                        if s["category_id"] in self.cat_to_label]
+            for i, seg in enumerate(segments[:self.max_boxes]):
+                m = (seg_map == seg["id"]).astype(np.uint8)
+                masks[i] = m
+                boxes[i] = masks_to_boxes(m[None])[0]
+                labels[i] = self.cat_to_label[seg["category_id"]]
+                box_mask[i] = 1.0
+        return {
+            "image": image.astype(np.float32),
+            "boxes": boxes,
+            "labels": labels,
+            "box_mask": box_mask,
+            "gt_masks": masks,
+            "image_id": np.int64(img_id),
+            "scale": np.float32(scale),
+            "pad": np.asarray([pad_x, pad_y], np.float32),
+            "orig_size": np.asarray([h, w], np.float32),
+        }
+
+    def pq_ground_truth(self, img_id: int):
+        """(gt_map, segments, crowd_ids) at original resolution for
+        :class:`~vit_torch_tpu.detection.panoptic_eval.PQStat`."""
+        from PIL import Image
+        ann = self.anns[img_id]
+        png = np.asarray(Image.open(
+            os.path.join(self.ann_dir, ann["file_name"])).convert("RGB"))
+        gt_map = rgb2id(png)
+        segments = {s["id"]: s["category_id"] for s in ann["segments_info"]}
+        crowd = {s["id"] for s in ann["segments_info"]
+                 if s.get("iscrowd", 0)}
+        return gt_map, segments, crowd
