@@ -89,6 +89,50 @@ def test_panoptic_dataset_things_only_and_pq_gt(tmp_path):
     assert crowd == {2000}
 
 
+def test_panoptic_instance_gt_view(tmp_path):
+    """instance_gt() produces a COCO container the evaluators accept:
+    RLE segmentations decode back to the segment masks, xywh boxes match."""
+    from vit_torch_tpu.detection import _mask
+    from vit_torch_tpu.detection.panoptic_data import CocoPanopticDataset
+    img_dir, ann_dir, ann_file = _write_panoptic(tmp_path)
+    ds = CocoPanopticDataset(img_dir, ann_dir, ann_file, image_size=64,
+                             max_boxes=8)
+    gt = ds.coco
+    assert sorted(gt.get_img_ids()) == [1, 2]
+    anns = gt.img_to_anns[1]
+    assert len(anns) == 2
+    a = anns[0]
+    assert a["bbox"] == [8.0, 8.0, 16.0, 12.0]
+    m = _mask.decode(a["segmentation"])
+    assert m.sum() == 12 * 16
+    assert anns[1]["iscrowd"] == 1
+
+
+def test_panoptic_cli_end_to_end(tmp_path):
+    """--panoptic_root trains the DETR mask head on panoptic PNGs and
+    scores bbox/segm AP + PQ against the instance-gt view."""
+    import json as _json
+    for split in ("train", "validation"):
+        root = tmp_path / split
+        root.mkdir()
+        img_dir, ann_dir, ann_file = _write_panoptic(root)
+        os.rename(img_dir, root / "data")
+        os.rename(ann_dir, root / "panoptic")
+        os.rename(ann_file, root / "panoptic.json")
+    from vit_torch_tpu.cli.coco import main
+    stats = tmp_path / "stats.json"
+    record = main([
+        "--panoptic_root", str(tmp_path), "--backbone", "swin_test3",
+        "--image_size", "64", "--bs", "2", "--epochs", "1",
+        "--max_boxes", "8", "--enc_layers", "1", "--dec_layers", "1",
+        "--hidden_dim", "64", "--num_queries", "8", "--device", "cpu",
+        "--stats_fp", str(stats)])
+    row = record["logs"][-1]
+    assert "loss_mask" in row["train"]
+    assert "segm" in row["val"] and "panoptic" in row["val"]
+    assert _json.load(open(stats))["logs"]
+
+
 def test_panoptic_dataset_batches_through_loader(tmp_path):
     from vit_torch_tpu.detection.coco_data import CocoLoader
     from vit_torch_tpu.detection.panoptic_data import CocoPanopticDataset

@@ -38,6 +38,11 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="add a Keypoint R-CNN head (faster_rcnn only) and "
                         "score the keypoints iou_type (reference "
                         "object/coco_utils.py:222-251 get_coco_kp)")
+    p.add_argument("--panoptic_root", default="", type=str,
+                   help="panoptic-PNG dataset root "
+                        "(root/{train,validation}/{data,panoptic,"
+                        "panoptic.json}; reference --dataset_file "
+                        "coco_panoptic). Implies --masks.")
     p.add_argument("--scan", default=1, type=int,
                    help="train steps per XLA dispatch (faster_rcnn only; "
                         ">1 enables chunked-scan training)")
@@ -153,21 +158,42 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
             else:
                 args.backbone = "swin_test"
     else:
-        assert args.data_root, "--data_root required (or --test)"
+        assert args.data_root or args.panoptic_root, \
+            "--data_root or --panoptic_root required (or --test)"
         train_dirs = (os.path.join(args.data_root, "train", "data"),
                       os.path.join(args.data_root, "train", "labels.json"))
         val_dirs = (os.path.join(args.data_root, "validation", "data"),
                     os.path.join(args.data_root, "validation", "labels.json"))
 
     cats = args.labels or None
-    train_ds = CocoDetectionDataset(*train_dirs, image_size=args.image_size,
-                                    max_boxes=args.max_boxes,
-                                    limit=args.limit_train, category_ids=cats,
-                                    load_masks=args.masks,
-                                    load_keypoints=args.keypoints)
-    val_ds = CocoDetectionDataset(*val_dirs, image_size=args.image_size,
-                                  max_boxes=args.max_boxes,
-                                  limit=args.limit_test, category_ids=cats)
+    if args.panoptic_root and not args.test:
+        # panoptic-PNG dataset (reference --dataset_file coco_panoptic);
+        # segments train the mask head, eval runs on the instance-gt view
+        from vit_torch_tpu.detection.panoptic_data import CocoPanopticDataset
+        args.masks = True
+
+        def _pan(split, limit):
+            root = os.path.join(args.panoptic_root, split)
+            return CocoPanopticDataset(
+                os.path.join(root, "data"), os.path.join(root, "panoptic"),
+                os.path.join(root, "panoptic.json"),
+                image_size=args.image_size, max_boxes=args.max_boxes,
+                limit=limit)
+
+        train_ds = _pan("train", args.limit_train)
+        val_ds = _pan("validation", args.limit_test)
+    else:
+        train_ds = CocoDetectionDataset(*train_dirs,
+                                        image_size=args.image_size,
+                                        max_boxes=args.max_boxes,
+                                        limit=args.limit_train,
+                                        category_ids=cats,
+                                        load_masks=args.masks,
+                                        load_keypoints=args.keypoints)
+        val_ds = CocoDetectionDataset(*val_dirs, image_size=args.image_size,
+                                      max_boxes=args.max_boxes,
+                                      limit=args.limit_test,
+                                      category_ids=cats)
     train_loader = CocoLoader(train_ds, args.bs, shuffle=True)
     val_loader = CocoLoader(val_ds, args.bs)
     print(f"train: {len(train_ds)} images, val: {len(val_ds)} images, "

@@ -94,6 +94,13 @@ class CocoPanopticDataset:
     def __len__(self) -> int:
         return len(self.ids)
 
+    @property
+    def coco(self):
+        """Lazy COCO instance-gt view (what the evaluators consume)."""
+        if not hasattr(self, "_coco"):
+            self._coco = self.instance_gt()
+        return self._coco
+
     def _segment_masks(self, ann: dict, scale, pad_x, pad_y, nh, nw):
         """Decode the segment PNG and cut per-segment letterboxed masks."""
         from PIL import Image
@@ -154,6 +161,41 @@ class CocoPanopticDataset:
             "pad": np.asarray([pad_x, pad_y], np.float32),
             "orig_size": np.asarray([h, w], np.float32),
         }
+
+    def instance_gt(self):
+        """COCO instance-annotation view of the panoptic ground truth (RLE
+        segmentations cut from the segment PNGs, xywh boxes from mask
+        extents) — feeds the bbox/segm ``COCOeval`` and the instance-based
+        PQ scoring path unchanged, so ``DetectionTrainer.evaluate`` works
+        on panoptic data without panopticapi JSON conversion."""
+        from vit_torch_tpu.detection import _mask
+        images, annotations = [], []
+        ann_id = 1
+        for img_id in self.ids:
+            info = self.imgs[img_id]
+            images.append({"id": img_id, "height": info["height"],
+                           "width": info["width"],
+                           "file_name": info.get("file_name", "")})
+            gt_map, segments, crowd = self.pq_ground_truth(img_id)
+            for sid, cat in segments.items():
+                if cat not in self.cat_to_label:
+                    continue
+                m = (gt_map == sid).astype(np.uint8)
+                box = masks_to_boxes(m[None])[0]
+                annotations.append({
+                    "id": ann_id, "image_id": img_id, "category_id": cat,
+                    "bbox": [float(box[0]), float(box[1]),
+                             float(box[2] - box[0]), float(box[3] - box[1])],
+                    "area": float(m.sum()),
+                    "iscrowd": int(sid in crowd),
+                    "segmentation": _mask.encode(m),
+                })
+                ann_id += 1
+        from vit_torch_tpu.detection.coco_eval import COCO
+        cats = [self.cats.get(c, {"id": c, "name": str(c)})
+                for c in self.category_ids]
+        return COCO(dataset={"images": images, "annotations": annotations,
+                             "categories": cats})
 
     def pq_ground_truth(self, img_id: int):
         """(gt_map, segments, crowd_ids) at original resolution for
