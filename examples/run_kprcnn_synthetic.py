@@ -69,9 +69,12 @@ def main() -> None:
     model = FasterRCNN(cfg, backbone, dtype=jnp.float32)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, size, size, 3)), deterministic=True)
-    # the synthetic 5-point skeleton has no left/right pairs → no index swap
+    # the synthetic (tl, tr, center, bl, br) skeleton mirrors tl↔tr and
+    # bl↔br under hflip — without this swap half the flipped keypoint
+    # supervision is contradictory
     trainer = FasterRCNNTrainer(model, variables["params"], cfg=cfg,
-                                lr=0.01, augment=True)
+                                lr=0.01, augment=True,
+                                kp_flip_inds=(1, 0, 2, 4, 3))
     trainer.model_state = {k: v for k, v in variables.items()
                            if k != "params"}
 

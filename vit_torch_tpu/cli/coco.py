@@ -136,6 +136,12 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
 
     if args.keypoints and args.head != "faster_rcnn":
         raise SystemExit("--keypoints requires --head faster_rcnn")
+    if args.keypoints and (args.masks or args.panoptic_root):
+        raise SystemExit("--keypoints cannot be combined with --masks/"
+                         "--panoptic_root (no mask+keypoint model)")
+    if args.panoptic_root and args.head == "faster_rcnn":
+        raise SystemExit("--panoptic_root requires --head detr (the "
+                         "faster_rcnn head produces no mask predictions)")
     if args.test:
         import tempfile
         tmp = tempfile.mkdtemp(prefix="coco_smoke_")
@@ -250,9 +256,15 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
             params, model_state = _load_pretrained_backbone(
                 args.torch_ckpt, family, params, model_state)
         kp_flip = None
-        if args.keypoints and train_ds.num_keypoints == 17:
-            from vit_torch_tpu.detection.keypoint import COCO_KP_FLIP_INDS
-            kp_flip = COCO_KP_FLIP_INDS
+        if args.keypoints:
+            from vit_torch_tpu.detection.keypoint import (
+                COCO_KP_FLIP_INDS, kp_flip_inds_from_names)
+            if train_ds.num_keypoints == 17 and not train_ds.kp_names:
+                kp_flip = COCO_KP_FLIP_INDS
+            elif train_ds.kp_names:
+                # mirror-pair swap derived from the schema's keypoint names
+                # (COCO left_*/right_*, or e.g. tl/tr + bl/br corners)
+                kp_flip = kp_flip_inds_from_names(train_ds.kp_names)
         trainer = FasterRCNNTrainer(model, params, cfg=cfg, lr=args.lr,
                                     augment=not args.no_hflip,
                                     kp_flip_inds=kp_flip)
@@ -312,11 +324,13 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
 
     # mask models get segm + PQ scoring (reference object/engine.py:58-67
     # auto-adds segm; object_detr/datasets/panoptic_eval.py for PQ)
-    eval_kw = dict(label_to_cat=val_ds.label_to_cat)
+    iou_types = ["bbox"]
     if args.masks:
-        eval_kw.update(iou_types=("bbox", "segm"), panoptic=True)
+        iou_types.append("segm")
     if args.keypoints:
-        eval_kw.update(iou_types=("bbox", "keypoints"))
+        iou_types.append("keypoints")
+    eval_kw = dict(label_to_cat=val_ds.label_to_cat,
+                   iou_types=tuple(iou_types), panoptic=args.masks)
 
     def _ckpt_state():
         return {"params": trainer.params, "opt_state": trainer.opt_state,

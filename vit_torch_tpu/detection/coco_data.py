@@ -55,10 +55,13 @@ class CocoDetectionDataset:
         # keypoint schema from the category metadata (COCO person: 17),
         # reference object/coco_utils.py:222-251 get_coco_kp
         self.num_keypoints = 0
+        self.kp_names: list = []
         if load_keypoints:
             for cat in self.coco.cats.values():
-                self.num_keypoints = max(self.num_keypoints,
-                                         len(cat.get("keypoints", [])))
+                names = cat.get("keypoints", [])
+                if len(names) > self.num_keypoints:
+                    self.num_keypoints = len(names)
+                    self.kp_names = list(names)
             if self.num_keypoints == 0:
                 self.num_keypoints = 17
         ids = self.coco.get_img_ids()

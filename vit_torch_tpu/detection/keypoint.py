@@ -42,6 +42,29 @@ COCO_KP_FLIP_INDS = (0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13,
                      16, 15)
 
 
+def kp_flip_inds_from_names(names) -> Tuple[int, ...]:
+    """Derive the horizontal-flip index swap from keypoint names.
+
+    Each name maps to its left/right mirror when one exists in the schema
+    (``left``↔``right`` substrings first, then a bare ``l``↔``r`` swap for
+    short names like ``tl``/``tr``), else to itself.  On COCO-17 this
+    reproduces :data:`COCO_KP_FLIP_INDS`; on a schema with no mirror pairs
+    it is the identity (flip-safe)."""
+    names = list(names)
+    idx = {n: i for i, n in enumerate(names)}
+
+    def mirror(n):
+        for a, b in (("left", "right"), ("right", "left"),
+                     ("l", "r"), ("r", "l")):
+            if a in n:
+                cand = n.replace(a, b)
+                if cand != n and cand in idx:
+                    return cand
+        return n
+
+    return tuple(idx[mirror(n)] for n in names)
+
+
 class KeypointHead(nn.Module):
     """(B, R, S, S, C) RoI features → (B, R, HM, HM, K) heatmap logits."""
 

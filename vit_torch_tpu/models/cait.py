@@ -37,6 +37,11 @@ def _use_fused_talking_heads(N: int, num_heads: int, head_dim: int) -> bool:
     flag = os.environ.get("VITX_FUSED_TH", "")
     if flag == "0":
         return False
+    from vit_torch_tpu.ops.attention import _active_seq_mesh
+    if _active_seq_mesh() is not None:
+        # sequence-parallel mesh: yield to the sharded attention path like
+        # the other kernel dispatchers (layers.py:158-173)
+        return False
     if flag != "1" and jax.default_backend() != "tpu":
         return False
     from vit_torch_tpu.ops.talking_heads import fits

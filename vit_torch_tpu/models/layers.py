@@ -110,10 +110,10 @@ def _use_fused_mlp(T: int, C: int, hidden: int, out_dim: int) -> bool:
 class Mlp(nn.Module):
     """Transformer MLP: Dense → GELU → Dense (+dropout).
 
-    On TPU the whole block runs as one fused Pallas kernel when the exact
-    GELU is in use and dropout is inactive (``ops/fused_mlp.py`` — the
-    (T, 4C) hidden activations never touch HBM); otherwise the standard
-    XLA path below."""
+    A fused Pallas kernel for the whole block exists (``ops/fused_mlp.py``
+    — the (T, 4C) hidden activations never touch HBM) but measured 2-3×
+    *slower* than XLA's own fc1→GELU→fc2 chain on v5e (PERF.md), so it is
+    opt-in via ``VITX_FUSED_MLP=1``; the default is the XLA path below."""
 
     hidden_dim: int
     out_dim: Optional[int] = None

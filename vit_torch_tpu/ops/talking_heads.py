@@ -35,11 +35,18 @@ _VMEM_BUDGET = 11 * 1024 * 1024
 
 
 def fits(N: int, num_heads: int, head_dim: int) -> bool:
-    """True when one batch element's talking-heads stacks fit VMEM."""
-    np_ = _round_up(N, _LANE)
+    """True when one batch element's talking-heads stacks fit VMEM.
+
+    Estimates peak residency at the kernel's PADDED shapes (the wrapper
+    pads N to a 16 multiple; Mosaic pads lanes to 128): the ``s`` and
+    ``probs`` lists (H fp32 tiles each) are live simultaneously with the
+    per-g mix accumulators, plus double-buffered q/k/v/o IO blocks."""
+    rows = _round_up(N, 16)
+    cols = _round_up(N, _LANE)
     dp = _round_up(head_dim, _LANE)
-    scores = 4 * num_heads * N * np_ * 4
-    qkv_io = 2 * 4 * num_heads * N * dp * 2
+    # s + probs lists + mix accumulator headroom: 3 H-deep fp32 stacks
+    scores = 3 * num_heads * rows * cols * 4
+    qkv_io = 2 * 4 * num_heads * rows * dp * 2
     return scores + qkv_io <= _VMEM_BUDGET
 
 
