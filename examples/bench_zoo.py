@@ -24,19 +24,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402  (repo-root bench.py — reuses its methodology)
 
-_orig_flops = bench.model_flops_per_image
-
-
-def _flops_or_zero(arch: str, image_size: int) -> int:
-    """Analytic FLOPs exist for vit/swin; other families report img/s only."""
-    try:
-        return _orig_flops(arch, image_size)
-    except Exception:
-        return 0
-
-
-bench.model_flops_per_image = _flops_or_zero
-
 ZOO_CONFIGS = [
     {"name": "dino_vits16 lineareval 224px bs32", "arch": "dino_vits16",
      "image_size": 224, "bs": 32, "lineareval": True,

@@ -1,5 +1,7 @@
 """Tests for the CaiT / XCiT / DeiT / ResNet families and zoo completeness."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -167,3 +169,41 @@ def test_bn_model_train_step_updates_stats():
                   for a, b in zip(before, after))
     assert changed, "batch_stats must update during training"
     assert np.isfinite(float(m["loss_sum"]))
+
+
+def test_zoo_flops_match_published():
+    """Analytic per-family FLOPs pinned to published GMac counts (fvcore/
+    timm) within 2% — the MFU accounting for the whole zoo bench sweep."""
+    from vit_torch_tpu.models.cait import CAIT_CONFIGS, cait_flops
+    from vit_torch_tpu.models.deit import deit_flops
+    from vit_torch_tpu.models.resnet import RESNET_CONFIGS, resnet_flops
+    from vit_torch_tpu.models.xcit import XCIT_CONFIGS, xcit_flops
+
+    published_gmac = {
+        "cait_s24_224": (cait_flops(CAIT_CONFIGS["cait_s24_224"], 224), 9.35),
+        "xcit_small_12_p16": (
+            xcit_flops(XCIT_CONFIGS["xcit_small_12_p16"], 224), 4.81),
+        "deit_base_distilled": (
+            deit_flops("deit_base_distilled_patch16_224", 224), 17.68),
+        "resnext50_32x4d": (
+            resnet_flops(RESNET_CONFIGS["resnext50_32x4d"], 224), 4.27),
+        "wide_resnet50_2": (
+            resnet_flops(RESNET_CONFIGS["wide_resnet50_2"], 224), 11.43),
+    }
+    for name, (flops, gmac) in published_gmac.items():
+        ratio = flops / (2e9 * gmac)
+        assert 0.98 < ratio < 1.02, (name, flops, gmac, ratio)
+
+
+def test_bench_flops_dispatch_covers_zoo():
+    """bench.model_flops_per_image resolves every zoo bench family (no
+    silent zero-MFU rows)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    for arch, size in [("dino_vits16", 224), ("deit_base_distilled_patch16_224", 224),
+                       ("cait_s24_224", 224), ("xcit_small_12_p16", 224),
+                       ("swin_tiny_patch4_window7_224", 224),
+                       ("resnext50_32x4d", 224), ("dino_vitb8", 384)]:
+        assert bench.model_flops_per_image(arch, size) > 1e9, arch

@@ -91,6 +91,31 @@ for _k in list(CAIT_CONFIGS):
         CAIT_CONFIGS[f"cait_{parts[1].upper()}_{parts[2]}"] = CAIT_CONFIGS[_k]
 
 
+def cait_flops(config: CaiTConfig, image_size: int) -> int:
+    """Analytic forward FLOPs per image (multiply-adds × 2), same convention
+    as ``vit_flops``/``swin_flops``.  Counts the talking-heads (H, H) score
+    mixes (pre+post softmax) in the SA blocks and the CLS-query-only
+    class-attention blocks (q/MLP on one token, k/v over all)."""
+    p, d, H = config.patch_size, config.embed_dim, config.num_heads
+    n = (image_size // p) ** 2                         # SA blocks: no CLS
+    hidden = int(d * config.mlp_ratio)
+    flops = 2 * n * (p * p * 3) * d                    # patch embed
+    per_sa = (
+        2 * n * d * 3 * d                              # qkv
+        + 2 * n * n * d * 2                            # QK^T + PV
+        + 2 * n * n * H * H * 2                        # proj_l + proj_w mixes
+        + 2 * n * d * d                                # out proj
+        + 2 * n * d * hidden * 2)                      # MLP
+    flops += config.depth * per_sa
+    nk = n + 1                                         # CA blocks see CLS too
+    per_ca = (
+        2 * 1 * d * d + 2 * nk * d * d * 2             # q (CLS) + k/v
+        + 2 * 1 * nk * d * 2                           # attn matmuls
+        + 2 * 1 * d * d                                # proj
+        + 2 * 1 * d * hidden * 2)                      # CLS-only MLP
+    return flops + config.depth_token_only * per_ca
+
+
 class TalkingHeadAttention(nn.Module):
     """Self-attention with pre/post-softmax head mixing (reference
     ``Attention_talking_head``, models/cait.py:87-128)."""

@@ -82,6 +82,14 @@ class DistilledVisionTransformer(nn.Module):
         return self.config.embed_dim
 
 
+def deit_flops(arch: str, image_size: int) -> int:
+    """Analytic forward FLOPs per image (multiply-adds × 2) — plain ViT
+    accounting with a second (distillation) token for distilled configs."""
+    from vit_torch_tpu.models.vit import vit_flops
+    cfg, distilled = DEIT_CONFIGS[arch]
+    return vit_flops(cfg, image_size, extra_tokens=2 if distilled else 1)
+
+
 def _build_deit(arch: str, image_channels: int, classifier, image_size: int,
                 dtype, remat: bool):
     from vit_torch_tpu.models.layers import ClassifierHead

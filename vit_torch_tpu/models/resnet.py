@@ -41,6 +41,31 @@ RESNET_CONFIGS = {
 EXPANSION = 4
 
 
+def resnet_flops(config: ResNetConfig, image_size: int) -> int:
+    """Analytic forward FLOPs per image (multiply-adds × 2) for the
+    bottleneck trunk: 7×7/2 stem + per-stage 1×1 → grouped 3×3 → 1×1
+    bottlenecks with a 1×1 downsample at each stage start (the classifier
+    head is negligible and excluded, matching ``vit_flops``)."""
+    s = image_size // 2
+    flops = 2 * s * s * 64 * 3 * 49                    # 7×7 stem
+    s = s // 2                                         # 3×3/2 maxpool
+    cin = 64
+    for li, n_blocks in enumerate(config.layers):
+        planes = 64 * 2 ** li
+        width = int(planes * (config.width_per_group / 64.0)) * config.groups
+        out_ch = planes * EXPANSION
+        for bi in range(n_blocks):
+            stride = 2 if (li > 0 and bi == 0) else 1
+            s_out = s // stride
+            flops += 2 * s * s * width * cin           # conv1 1×1 (input res)
+            flops += 2 * s_out * s_out * width * (width // config.groups) * 9
+            flops += 2 * s_out * s_out * out_ch * width  # conv3 1×1
+            if bi == 0:
+                flops += 2 * s_out * s_out * out_ch * cin  # downsample 1×1
+            cin, s = out_ch, s_out
+    return flops
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1

@@ -106,13 +106,14 @@ class VisionTransformer(nn.Module):
 
 
 def vit_flops(config: ViTConfig, image_size: int,
-              image_channels: int = 3) -> int:
+              image_channels: int = 3, extra_tokens: int = 1) -> int:
     """Analytic forward FLOPs per image (multiply-adds × 2), same accounting
     convention as ``swin_flops`` and the reference's per-module ``flops()``
-    methods (``models/swin.py:149-160``)."""
+    methods (``models/swin.py:149-160``).  ``extra_tokens`` is the number of
+    non-patch tokens (1 = CLS; DeiT distilled adds a distillation token)."""
     p, d = config.patch_size, config.embed_dim
     n_patch = (image_size // p) ** 2
-    n = n_patch + 1                                   # + CLS token
+    n = n_patch + extra_tokens
     flops = 2 * n_patch * (p * p * image_channels) * d    # patch embed
     per_block = (
         2 * n * d * 3 * d                             # qkv projection

@@ -76,6 +76,39 @@ XCIT_CONFIGS["xcit_test"] = _x(patch_size=8, embed_dim=32, depth=2,
                                num_heads=2)
 
 
+def xcit_flops(config: XCiTConfig, image_size: int) -> int:
+    """Analytic forward FLOPs per image (multiply-adds × 2), same convention
+    as ``vit_flops``/``swin_flops``.  XCA attention is linear in N: the
+    (d_h × d_h) covariance + apply matmuls cost ``4·N·d·d_h`` per block vs
+    plain attention's ``4·N²·d``; LPI adds two depthwise 3×3 convs."""
+    d, H = config.embed_dim, config.num_heads
+    dh = d // H
+    hidden = int(d * config.mlp_ratio)
+    widths = ([d // 8, d // 4, d // 2, d] if config.patch_size == 16
+              else [d // 4, d // 2, d])
+    flops = 0
+    cin, s = 3, image_size
+    for w in widths:                                   # conv patch-embed stack
+        s = (s + 1) // 2
+        flops += 2 * s * s * w * cin * 9
+        cin = w
+    n = s * s
+    per_block = (
+        2 * n * d * 3 * d                              # qkv
+        + 2 * n * dh * d * 2                           # XCA q·kᵀ + apply
+        + 2 * n * d * d                                # proj
+        + 2 * n * d * 9 * 2                            # LPI depthwise 3×3 ×2
+        + 2 * n * d * hidden * 2)                      # MLP
+    flops += config.depth * per_block
+    nk = n + 1                                         # CA blocks see CLS
+    per_ca = (
+        2 * nk * d * 3 * d                             # fused qkv (all tokens)
+        + 2 * 1 * nk * d * 2                           # CLS-query attn
+        + 2 * 1 * d * d                                # proj
+        + 2 * 1 * d * hidden * 2)                      # CLS-only MLP
+    return flops + config.cls_attn_layers * per_ca
+
+
 def fourier_pos_encoding(H: int, W: int, hidden_dim: int = 32,
                          temperature: float = 10000.0) -> jnp.ndarray:
     """Static (1, H, W, 2*hidden_dim) sine/cosine grid encoding (reference
