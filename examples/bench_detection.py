@@ -115,13 +115,17 @@ def bench_detr(size: int = 512, bs: int = 8, steps: int = 20) -> dict:
     trainer = DetectionTrainer(model, params, image_size=size,
                                num_classes=5, lr=1e-4, augment=True)
     batch = _batch(bs, size)
+    # the Hungarian loop must see a HOST box_mask: a device-resident mask
+    # costs a tunnel round-trip per image per decoder layer (measured
+    # 2262 ms/step vs 2.4 ms — this was the entire round-2 "11x DETR gap")
+    host_mask = np.asarray(batch["box_mask"])
     rng = jax.random.PRNGKey(0)
 
     def step():
         nonlocal rng
         rng, sr = jax.random.split(rng)
         costs = np.asarray(trainer._forward_costs(trainer.params, batch, sr))
-        assign = np.stack([hungarian_match(costs[li], batch["box_mask"])
+        assign = np.stack([hungarian_match(costs[li], host_mask)
                            for li in range(costs.shape[0])])
         trainer.params, trainer.opt_state, logs = trainer._train_step(
             trainer.params, trainer.opt_state, batch, jnp.asarray(assign),
@@ -135,9 +139,34 @@ def bench_detr(size: int = 512, bs: int = 8, steps: int = 20) -> dict:
         logs = step()
     float(logs["loss_total"])
     dt = time.perf_counter() - t0
+
+    # device-matcher fused step: matching runs in-program (one dispatch)
+    trainer.matcher = "device"
+    p, o, logs = trainer._train_step_fused(trainer.params, trainer.opt_state,
+                                           batch, rng)
+    float(logs["loss_total"])                # compile + fence
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        p, o, logs = trainer._train_step_fused(p, o, batch, rng)
+    float(logs["loss_total"])
+    dt_fused = time.perf_counter() - t0
+
+    # chunked-scan: `steps` fused steps in ONE dispatch
+    stacked = jax.tree.map(lambda a: jnp.stack([a] * steps), batch)
+    p, o, losses, _ = trainer._train_chunk(trainer.params, trainer.opt_state,
+                                           stacked, rng)
+    float(losses["loss_total"][-1])          # compile + fence
+    t0 = time.perf_counter()
+    p, o, losses, _ = trainer._train_chunk(p, o, stacked, rng)
+    float(losses["loss_total"][-1])
+    dt_scan = time.perf_counter() - t0
     return {"name": f"detr swin_tiny {size}px bs{bs}",
             "step_ms": round(1000 * dt / steps, 2),
-            "img_per_sec": round(steps * bs / dt, 2)}
+            "img_per_sec": round(steps * bs / dt, 2),
+            "step_ms_fused": round(1000 * dt_fused / steps, 2),
+            "img_per_sec_fused": round(steps * bs / dt_fused, 2),
+            "step_ms_scan": round(1000 * dt_scan / steps, 2),
+            "img_per_sec_scan": round(steps * bs / dt_scan, 2)}
 
 
 def main() -> None:

@@ -44,8 +44,17 @@ def get_args_parser() -> argparse.ArgumentParser:
                         "panoptic.json}; reference --dataset_file "
                         "coco_panoptic). Implies --masks.")
     p.add_argument("--scan", default=1, type=int,
-                   help="train steps per XLA dispatch (faster_rcnn only; "
-                        ">1 enables chunked-scan training)")
+                   help="train steps per XLA dispatch (faster_rcnn, or detr "
+                        "with --matcher device; >1 enables chunked-scan "
+                        "training)")
+    p.add_argument("--matcher", default="host", choices=["host", "device"],
+                   help="DETR matching: host = exact scipy Hungarian (one "
+                        "round-trip per step), device = in-program auction "
+                        "assignment (single XLA dispatch, scan-capable)")
+    p.add_argument("--opt", default="adamw", choices=["adamw", "sgd"],
+                   help="DETR optimizer: adamw = upstream-DETR recipe, sgd "
+                        "= the reference fork's actual recipe (momentum .9, "
+                        "coupled wd; object_detr/main.py:239-252)")
     p.add_argument("--masks", action="store_true",
                    help="train the DETR instance-mask head (DETRsegm)")
     p.add_argument("--image_size", default=512, type=int)
@@ -300,6 +309,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                                    lr=args.lr, masks=args.masks,
                                    augment=not args.no_hflip,
                                    aug_crop=args.aug_crop,
+                                   matcher=args.matcher, opt=args.opt,
                                    weight_decay=args.weight_decay)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"model: {n_params / 1e6:.1f}M params ({args.head})")
@@ -366,9 +376,11 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         sched_lr = args.lr * args.lr_gamma ** (epoch // max(args.lr_step, 1))
         trainer.base_lr = sched_lr        # epoch-0 warmup ramps to this
         trainer.set_lr(sched_lr)
-        if args.scan > 1 and hasattr(trainer, "train_one_epoch_scan"):
-            # chunked-scan training (FasterRCNN only: its step has no host
-            # round-trip) — amortizes per-dispatch latency
+        use_scan = args.scan > 1 and (
+            args.head == "faster_rcnn" or args.matcher == "device")
+        if use_scan:
+            # chunked-scan training (FasterRCNN, or DETR with the device
+            # matcher: no host round-trip) — amortizes per-dispatch latency
             train_logs = trainer.train_one_epoch_scan(
                 train_loader, epoch, steps_per_dispatch=args.scan,
                 log_fn=log_fn)

@@ -28,7 +28,8 @@ from vit_torch_tpu.data.datasets import NORM_VALUES
 from vit_torch_tpu.detection.boxes import xyxy_to_cxcywh
 from vit_torch_tpu.detection.coco_eval import CocoEvaluator
 from vit_torch_tpu.detection.detr import detr_losses, postprocess
-from vit_torch_tpu.detection.matcher import cost_matrices, hungarian_match
+from vit_torch_tpu.detection.matcher import (
+    auction_assign, cost_matrices, hungarian_match)
 from vit_torch_tpu.detection.transforms import random_hflip, random_zoom_crop
 
 
@@ -94,22 +95,41 @@ class DetectionTrainer:
                  lr: float = 1e-4, weight_decay: float = 1e-4,
                  warmup_steps: int = 0, grad_clip: float = 0.1,
                  masks: bool = False, augment: bool = False,
-                 aug_crop: bool = False,
+                 aug_crop: bool = False, matcher: str = "host",
+                 opt: str = "adamw", momentum: float = 0.9,
                  norm_values: Optional[dict] = None) -> None:
+        """``matcher``: "host" = exact scipy Hungarian (two dispatches per
+        step: forward+costs, then loss+backward); "device" = in-program
+        auction assignment (ONE dispatch per step, chunked-scan capable —
+        the TPU-native path, near-optimal matching).
+
+        ``opt``: "adamw" (upstream-DETR recipe: clip 0.1 + AdamW) or "sgd"
+        (the reference fork's actual recipe — SGD momentum .9 with torch's
+        coupled weight decay, ``object_detr/main.py:239-252``).
+        """
         self.model = model
         self.image_size = image_size
         self.num_classes = num_classes
         self.masks = masks
         self.augment = augment
         self.aug_crop = aug_crop
+        self.matcher = matcher
         self.rng = jax.random.PRNGKey(0)
         self.norm = norm_values or NORM_VALUES["imagenet"]
-        self.tx = optax.chain(
-            optax.clip_by_global_norm(grad_clip),
-            optax.inject_hyperparams(
-                lambda learning_rate: optax.adamw(
-                    learning_rate, weight_decay=weight_decay)
-            )(learning_rate=lr))
+        if opt == "sgd":
+            self.tx = optax.chain(
+                optax.add_decayed_weights(weight_decay),   # coupled wd
+                optax.inject_hyperparams(
+                    lambda learning_rate: optax.sgd(
+                        learning_rate, momentum=momentum)
+                )(learning_rate=lr))
+        else:
+            self.tx = optax.chain(
+                optax.clip_by_global_norm(grad_clip),
+                optax.inject_hyperparams(
+                    lambda learning_rate: optax.adamw(
+                        learning_rate, weight_decay=weight_decay)
+                )(learning_rate=lr))
         self.base_lr = lr
         self.params = params
         self.opt_state = self.tx.init(params)
@@ -197,6 +217,75 @@ class DetectionTrainer:
         masks_on = self.masks
 
         @jax.jit
+        def train_step_fused(params, opt_state, batch, rng):
+            """ONE XLA program per step: forward, matching costs, in-program
+            auction assignment (``matcher.auction_assign``), losses,
+            backward, update — no host round-trip, so steps can also be
+            lax.scan-chunked (``train_chunk``).  The reference needs a
+            scipy round-trip per step (``object_detr/engine.py:28-68``)."""
+            raw, boxes, box_mask, gt_masks = _augmented(
+                batch, rng, with_masks=self.masks)
+            drop_rng = jax.random.fold_in(rng, 1)
+            targets = _prep_targets(batch, image_size, boxes=boxes,
+                                    box_mask=box_mask)
+
+            def loss_fn(p):
+                images = normalize(raw, **norm)
+                outputs = model.apply({"params": p}, images, False,
+                                      rngs={"dropout": drop_rng})
+                layers = outputs.get("aux_outputs", []) + [outputs]
+                costs = jnp.stack([
+                    cost_matrices(o["pred_logits"], o["pred_boxes"],
+                                  targets["labels"],
+                                  targets["boxes_cxcywh"],
+                                  targets["box_mask"])
+                    for o in layers])                       # (L, B, Q, N)
+                L = costs.shape[0]
+                bm = jnp.broadcast_to(targets["box_mask"][None],
+                                      (L,) + targets["box_mask"].shape)
+                assign = auction_assign(jax.lax.stop_gradient(costs), bm)
+                total = 0.0
+                logs = {}
+                for li, o in enumerate(layers):
+                    l = detr_losses(o, targets, assign[li], num_classes)
+                    total = total + l["loss"]
+                    if li == len(layers) - 1:
+                        logs = l
+                if masks_on and "pred_masks" in outputs:
+                    from vit_torch_tpu.detection.segmentation import (
+                        mask_losses)
+                    ml = mask_losses(outputs["pred_masks"], gt_masks,
+                                     assign[-1], targets["box_mask"],
+                                     targets["mask"])
+                    total = total + ml["loss_mask"] + ml["loss_dice"]
+                    logs = {**logs, **ml}
+                return total, logs
+
+            (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            logs = dict(logs)
+            logs["loss_total"] = loss
+            return params, opt_state, logs
+
+        @jax.jit
+        def train_chunk(params, opt_state, batches, rng):
+            """K fused train steps in ONE dispatch (device matcher only) —
+            the DETR counterpart of FasterRCNN's chunked-scan mode; the rng
+            split sequence matches ``train_one_epoch`` exactly."""
+            def body(carry, batch):
+                params, opt_state, rng = carry
+                rng, step_rng = jax.random.split(rng)
+                params, opt_state, logs = train_step_fused(
+                    params, opt_state, batch, step_rng)
+                return (params, opt_state, rng), logs
+
+            (params, opt_state, rng), logs = jax.lax.scan(
+                body, (params, opt_state, rng), batches)
+            return params, opt_state, logs, rng
+
+        @jax.jit
         def predict(params, batch):
             images = normalize(jnp.asarray(batch["image"]), **norm)
             outputs = model.apply({"params": params}, images, True)
@@ -214,6 +303,8 @@ class DetectionTrainer:
 
         self._forward_costs = forward_costs
         self._train_step = train_step
+        self._train_step_fused = train_step_fused
+        self._train_chunk = train_chunk
         self._predict = predict
 
     def set_lr(self, lr: float) -> None:
@@ -238,14 +329,19 @@ class DetectionTrainer:
                 frac = (i + 1) / max(min(n_batches, 1000), 1)
                 self.set_lr(self.base_lr * min(frac, 1.0))
             self.rng, step_rng = jax.random.split(self.rng)
-            costs = np.asarray(self._forward_costs(self.params, batch,
-                                                   step_rng))
-            assign = np.stack([
-                hungarian_match(costs[li], batch["box_mask"])
-                for li in range(costs.shape[0])])
-            self.params, self.opt_state, logs = self._train_step(
-                self.params, self.opt_state, batch, jnp.asarray(assign),
-                step_rng)
+            if self.matcher == "device":
+                # single-dispatch path: auction matching runs in-program
+                self.params, self.opt_state, logs = self._train_step_fused(
+                    self.params, self.opt_state, batch, step_rng)
+            else:
+                costs = np.asarray(self._forward_costs(self.params, batch,
+                                                       step_rng))
+                assign = np.stack([
+                    hungarian_match(costs[li], batch["box_mask"])
+                    for li in range(costs.shape[0])])
+                self.params, self.opt_state, logs = self._train_step(
+                    self.params, self.opt_state, batch, jnp.asarray(assign),
+                    step_rng)
             logs = {k: float(v) for k, v in logs.items()}
             if not np.isfinite(logs["loss_total"]):
                 print(f"Loss is {logs['loss_total']}, stopping training")
@@ -256,6 +352,75 @@ class DetectionTrainer:
             count += 1
             if log_fn and (i % print_freq == 0 or i == n_batches - 1):
                 log_fn(i, n_batches, logs)
+        return {k: v / max(count, 1) for k, v in totals.items()}
+
+    def train_one_epoch_scan(self, loader, epoch: int,
+                             steps_per_dispatch: int = 8,
+                             warmup: bool = True,
+                             log_fn: Optional[Callable] = None,
+                             ) -> Dict[str, float]:
+        """Chunked-scan epoch for the DEVICE matcher: ``steps_per_dispatch``
+        fused train steps per XLA dispatch (in-program auction matching has
+        no host round-trip, so whole chunks amortize the per-dispatch
+        tunnel latency like FasterRCNN's scan mode).  Same rng split
+        sequence as :meth:`train_one_epoch`; epoch-0 warmup updates the LR
+        once per chunk; trailing batches run per-step."""
+        if self.matcher != "device":
+            raise ValueError("train_one_epoch_scan requires matcher='device'"
+                             " (host Hungarian needs a round-trip per step)")
+        n_batches = len(loader)
+        totals: Dict[str, float] = {}
+        count = 0
+        done = 0
+        buf: list = []
+        step_keys = {"image", "boxes", "labels", "box_mask", "mask",
+                     "gt_masks"}
+
+        def _accum(logs):
+            nonlocal count, done
+            if not np.isfinite(logs["loss_total"]):
+                print(f"Loss is {logs['loss_total']}, stopping training")
+                print(logs)
+                sys.exit(1)
+            for k, v in logs.items():
+                totals[k] = totals.get(k, 0.0) + v
+            count += 1
+            done += 1
+            if log_fn and (done % steps_per_dispatch == 0
+                           or done == n_batches):
+                log_fn(done - 1, n_batches, logs)
+
+        def flush():
+            if not buf:
+                return
+            if len(buf) < steps_per_dispatch:
+                for batch in buf:
+                    self.rng, step_rng = jax.random.split(self.rng)
+                    self.params, self.opt_state, logs = \
+                        self._train_step_fused(self.params, self.opt_state,
+                                               batch, step_rng)
+                    logs = {k: float(v) for k, v in logs.items()}
+                    _accum(logs)
+                buf.clear()
+                return
+            batches = {k: np.stack([b[k] for b in buf])
+                       for k in buf[0].keys() if k in step_keys}
+            self.params, self.opt_state, losses, self.rng = \
+                self._train_chunk(self.params, self.opt_state, batches,
+                                  self.rng)
+            losses = {k: np.asarray(v) for k, v in losses.items()}
+            for i in range(len(buf)):
+                _accum({k: float(v[i]) for k, v in losses.items()})
+            buf.clear()
+
+        for batch in loader:
+            if warmup and epoch == 0:
+                frac = (done + len(buf) + 1) / max(min(n_batches, 1000), 1)
+                self.set_lr(self.base_lr * min(frac, 1.0))
+            buf.append(batch)
+            if len(buf) == steps_per_dispatch:
+                flush()
+        flush()
         return {k: v / max(count, 1) for k, v in totals.items()}
 
     @jax.profiler.annotate_function
