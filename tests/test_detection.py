@@ -545,3 +545,43 @@ def test_detr_sgd_recipe_builds():
     tr2.set_lr(5e-3)
     assert abs(float(tr2.opt_state[1].hyperparams["learning_rate"])
                - 5e-3) < 1e-9
+
+
+def test_unletterbox_masks_nearest_semantics():
+    """Vectorized mask un-letterboxing: exact on integer-ratio scalings,
+    IoU >= 0.98 vs PIL NEAREST elsewhere (PIL's NEAREST box-averages on
+    some shapes, so bit-equality is not the spec — nearest semantics is).
+    Blob masks (not pixel noise) model real predictions."""
+    from PIL import Image
+    from vit_torch_tpu.detection.engine import _unletterbox_masks
+
+    def blob(rng, S):
+        yy, xx = np.mgrid[0:S, 0:S]
+        cy, cx = rng.integers(8, S - 8, 2)
+        r = rng.integers(5, S // 3)
+        return ((yy - cy) ** 2 + (xx - cx) ** 2 < r * r).astype(np.uint8)
+
+    rng = np.random.default_rng(0)
+    # integer-ratio upscale: index map is exact
+    S = 32
+    masks = np.stack([blob(rng, S) for _ in range(3)])
+    got = _unletterbox_masks(masks, 0.5, np.asarray([0, 0]),
+                             np.asarray([64, 64]))
+    want = np.repeat(np.repeat(masks, 2, axis=1), 2, axis=2)
+    np.testing.assert_array_equal(got, want)
+
+    # letterboxed odd shapes: near-identical to PIL NEAREST
+    for (h, w, S) in [(37, 53, 64), (100, 70, 96), (283, 190, 180)]:
+        scale = min(S / h, S / w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        px, py = (S - nw) // 2, (S - nh) // 2
+        masks = np.stack([blob(rng, S) for _ in range(3)])
+        got = _unletterbox_masks(masks, scale, np.asarray([px, py]),
+                                 np.asarray([h, w]))
+        for i in range(masks.shape[0]):
+            crop = masks[i, py:py + nh, px:px + nw] * 255
+            want = np.asarray(
+                Image.fromarray(crop).resize((w, h), Image.NEAREST)) > 0
+            inter = np.logical_and(got[i], want).sum()
+            union = max(np.logical_or(got[i], want).sum(), 1)
+            assert inter / union >= 0.98, (h, w, S, inter / union)

@@ -195,3 +195,113 @@ def test_swin_tensor_parallel_train_step():
         losses.append(float(m["loss_sum"]))
     assert np.isfinite(losses).all() if hasattr(np, "isfinite") else True
     assert losses[-1] < losses[0]
+
+
+def _frcnn_bits():
+    # swin backbone (module-surgery mode): LayerNorm-only, so per-image
+    # compute is bitwise identical sharded vs not — a BN backbone's batch
+    # means become global psums whose reduction order perturbs RPN top-k
+    # selections (global-BN semantics, correct but not bit-equal)
+    from vit_torch_tpu.detection.faster_rcnn import (
+        FasterRCNN, FasterRCNNConfig)
+    from vit_torch_tpu.models.swin import SWIN_CONFIGS, SwinTransformer
+    size = 64
+    backbone = SwinTransformer(SWIN_CONFIGS["swin_test"], dtype=jnp.float32,
+                               multi_features=True, name="backbone")
+    n_stages = len(SWIN_CONFIGS["swin_test"].depths)
+    cfg = FasterRCNNConfig(
+        num_classes=3, image_size=size,
+        strides=tuple(4 * 2 ** i for i in range(n_stages)),
+        anchor_sizes=tuple(8.0 * 2 ** i for i in range(n_stages)),
+        num_proposals=32, rpn_pre_nms_topk=64,
+        rpn_batch=32, roi_batch=16, detections=10)
+    model = FasterRCNN(cfg, backbone, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, size, size, 3)), deterministic=True)
+    rng = np.random.default_rng(0)
+    bs = 4
+    batch = {
+        "image": rng.uniform(0, 255, (bs, size, size, 3)).astype(np.float32),
+        "boxes": np.asarray([[[4, 4, 20, 20], [30, 30, 56, 56],
+                              [0] * 4, [0] * 4]] * bs, np.float32),
+        "labels": np.asarray([[1, 2, 0, 0]] * bs, np.int32),
+        "box_mask": np.asarray([[1, 1, 0, 0]] * bs, np.float32),
+        "mask": np.ones((bs,), np.float32),
+    }
+    return model, cfg, variables, batch
+
+
+def test_detection_frcnn_dp_mesh_matches_unsharded():
+    """FasterRCNN train step over a data=2 mesh produces the same loss and
+    params as the unsharded step (GSPMD DP — the reference's DDP surface
+    for detection, object/engine.py:36)."""
+    from vit_torch_tpu.detection.engine import FasterRCNNTrainer
+    model, cfg, variables, batch = _frcnn_bits()
+    mesh = make_mesh("data=2", devices=jax.devices()[:2])
+
+    def make(mesh_arg):
+        tr = FasterRCNNTrainer(model, variables["params"], cfg=cfg, lr=0.01,
+                               augment=False, mesh=mesh_arg)
+        tr.model_state = {k: v for k, v in variables.items()
+                          if k != "params"}
+        return tr
+
+    tr_ref, tr_dp = make(None), make(mesh)
+
+    class L(list):
+        pass
+
+    logs_ref = tr_ref.train_one_epoch(L([batch]), epoch=1, warmup=False)
+    logs_dp = tr_dp.train_one_epoch(L([batch]), epoch=1, warmup=False)
+    assert abs(logs_ref["loss_total"] - logs_dp["loss_total"]) < 1e-4, (
+        logs_ref["loss_total"], logs_dp["loss_total"])
+    for a, b in zip(jax.tree.leaves(tr_ref.params),
+                    jax.tree.leaves(tr_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_detection_detr_dp_mesh_matches_unsharded():
+    """DETR fused (device-matcher) train step over a data=2 mesh matches
+    the unsharded step: the in-program auction matching shards over batch
+    with no host gather at all."""
+    from vit_torch_tpu.detection.detr import DETR, DETRConfig
+    from vit_torch_tpu.detection.engine import DetectionTrainer
+    from vit_torch_tpu.models.swin import SWIN_CONFIGS, SwinTransformer
+    size = 32
+    backbone = SwinTransformer(SWIN_CONFIGS["swin_test"], dtype=jnp.float32,
+                               features_only=True, name="backbone")
+    cfg = DETRConfig(num_classes=3, num_queries=8, hidden_dim=32,
+                     num_heads=4, enc_layers=1, dec_layers=1, ffn_dim=64)
+    model = DETR(cfg, backbone, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)),
+                        True)["params"]
+    rng = np.random.default_rng(0)
+    bs = 4
+    batch = {
+        "image": rng.uniform(0, 255, (bs, size, size, 3)).astype(np.float32),
+        "boxes": np.asarray([[[2, 2, 12, 12], [14, 14, 28, 28],
+                              [0] * 4, [0] * 4]] * bs, np.float32),
+        "labels": np.ones((bs, 4), np.int32),
+        "box_mask": np.asarray([[1, 1, 0, 0]] * bs, np.float32),
+        "mask": np.ones((bs,), np.float32),
+    }
+    mesh = make_mesh("data=2", devices=jax.devices()[:2])
+
+    def make(mesh_arg):
+        return DetectionTrainer(model, params, image_size=size,
+                                num_classes=3, lr=1e-3, augment=False,
+                                matcher="device", mesh=mesh_arg)
+
+    tr_ref, tr_dp = make(None), make(mesh)
+
+    class L(list):
+        pass
+
+    logs_ref = tr_ref.train_one_epoch(L([batch]), epoch=1, warmup=False)
+    logs_dp = tr_dp.train_one_epoch(L([batch]), epoch=1, warmup=False)
+    assert abs(logs_ref["loss_total"] - logs_dp["loss_total"]) < 1e-4
+    for a, b in zip(jax.tree.leaves(tr_ref.params),
+                    jax.tree.leaves(tr_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

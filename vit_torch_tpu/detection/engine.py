@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
 from vit_torch_tpu.data.augment import normalize
 from vit_torch_tpu.data.datasets import NORM_VALUES
 from vit_torch_tpu.detection.boxes import xyxy_to_cxcywh
@@ -31,6 +33,26 @@ from vit_torch_tpu.detection.detr import detr_losses, postprocess
 from vit_torch_tpu.detection.matcher import (
     auction_assign, cost_matrices, hungarian_match)
 from vit_torch_tpu.detection.transforms import random_hflip, random_zoom_crop
+
+
+def _replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, NamedSharding(mesh, PartitionSpec()))
+
+
+def _shard_batch(batch: dict, mesh: Mesh, axis: int = 0) -> dict:
+    """Shard every batched array over the mesh ``data`` axis (detection DP:
+    the reference's DDP surface — ``DistributedSampler`` loading +
+    ``reduce_dict`` loss averaging, ``object/engine.py:36`` — becomes GSPMD
+    batch sharding; XLA inserts the gradient all-reduce over ICI).  The
+    global batch size must divide the ``data`` axis size."""
+    spec = [None] * (axis + 1)
+    spec[axis] = "data"
+    data = NamedSharding(mesh, PartitionSpec(*spec))
+    out = {}
+    for k, v in batch.items():
+        a = np.asarray(v)
+        out[k] = jax.device_put(a, data) if a.ndim > axis else v
+    return out
 
 
 def _prep_targets(batch: Dict[str, np.ndarray], image_size: int,
@@ -52,22 +74,31 @@ def _prep_targets(batch: Dict[str, np.ndarray], image_size: int,
 def _unletterbox_masks(masks: np.ndarray, scale: float, pad: np.ndarray,
                        orig_size: np.ndarray) -> np.ndarray:
     """(N, S, S) letterbox-resolution masks → (N, h, w) original-resolution
-    binary masks (crop the content region, NEAREST-resize back)."""
-    from PIL import Image
+    binary masks (crop the content region, NEAREST-resize back).
+
+    Vectorized: one index-gather resizes the whole mask stack — standard
+    half-pixel-center nearest sampling (``floor((dst + 0.5) · src/dst)``),
+    replacing the per-mask PIL round-trip the eval loop previously paid.
+    PIL's NEAREST is not a pure index map (its resample path box-averages
+    on some shapes), so the test pins exact equality on integer-ratio
+    scalings and IoU ≥ 0.98 elsewhere."""
+    masks = np.asarray(masks, np.uint8)
     h, w = int(orig_size[0]), int(orig_size[1])
     nh, nw = int(round(h * float(scale))), int(round(w * float(scale)))
     px, py = int(pad[0]), int(pad[1])
-    out = np.zeros((masks.shape[0], h, w), np.uint8)
-    for i, m in enumerate(np.asarray(masks, np.uint8)):
-        crop = m[py:py + nh, px:px + nw] * 255
-        out[i] = np.asarray(
-            Image.fromarray(crop).resize((w, h), Image.NEAREST)) > 0
-    return out
+    if masks.shape[0] == 0 or nh <= 0 or nw <= 0:
+        return np.zeros((masks.shape[0], h, w), np.uint8)
+    crop = masks[:, py:py + nh, px:px + nw]
+    ys = np.clip(np.floor((np.arange(h) + 0.5) * nh / h).astype(np.int64),
+                 0, nh - 1)
+    xs = np.clip(np.floor((np.arange(w) + 0.5) * nw / w).astype(np.int64),
+                 0, nw - 1)
+    return (crop[:, ys[:, None], xs[None, :]] > 0).astype(np.uint8)
 
 
-def _pq_update(pq, coco_gt, img_id: int, pred: Dict[str, np.ndarray]) -> None:
-    """Score one image's instance masks as panoptic segment maps (gt
-    rasterized from the COCO annotations at original resolution)."""
+def _pq_prepare(coco_gt, img_id: int, pred: Dict[str, np.ndarray]):
+    """Pure per-image PQ inputs (threadable): rasterize the gt segment map
+    from the COCO annotations and paint the predicted one."""
     from vit_torch_tpu.detection import _mask
     from vit_torch_tpu.detection.panoptic_eval import masks_to_segment_map
     info = coco_gt.imgs[img_id]
@@ -87,7 +118,12 @@ def _pq_update(pq, coco_gt, img_id: int, pred: Dict[str, np.ndarray]) -> None:
     pred_map, pred_segments = masks_to_segment_map(
         pred["masks"], [int(l) for l in pred["labels"]],
         [float(s) for s in pred["scores"]], (h, w))
-    pq.update(gt_map, gt_segments, pred_map, pred_segments, crowd_ids)
+    return gt_map, gt_segments, pred_map, pred_segments, crowd_ids
+
+
+def _pq_update(pq, coco_gt, img_id: int, pred: Dict[str, np.ndarray]) -> None:
+    """Score one image's instance masks as panoptic segment maps."""
+    pq.update(*_pq_prepare(coco_gt, img_id, pred))
 
 
 class DetectionTrainer:
@@ -97,6 +133,7 @@ class DetectionTrainer:
                  masks: bool = False, augment: bool = False,
                  aug_crop: bool = False, matcher: str = "host",
                  opt: str = "adamw", momentum: float = 0.9,
+                 mesh: Optional[Mesh] = None,
                  norm_values: Optional[dict] = None) -> None:
         """``matcher``: "host" = exact scipy Hungarian (two dispatches per
         step: forward+costs, then loss+backward); "device" = in-program
@@ -106,6 +143,11 @@ class DetectionTrainer:
         ``opt``: "adamw" (upstream-DETR recipe: clip 0.1 + AdamW) or "sgd"
         (the reference fork's actual recipe — SGD momentum .9 with torch's
         coupled weight decay, ``object_detr/main.py:239-252``).
+
+        ``mesh``: data-parallel training over a ``data`` mesh axis — params
+        replicated, batches sharded, GSPMD gradient all-reduce (the
+        reference's DDP surface; SURVEY §2c).  Works with both matchers
+        (the host Hungarian sees the gathered cost tensor).
         """
         self.model = model
         self.image_size = image_size
@@ -131,8 +173,12 @@ class DetectionTrainer:
                         learning_rate, weight_decay=weight_decay)
                 )(learning_rate=lr))
         self.base_lr = lr
+        self.mesh = mesh
         self.params = params
         self.opt_state = self.tx.init(params)
+        if mesh is not None:
+            self.params = _replicate(self.params, mesh)
+            self.opt_state = _replicate(self.opt_state, mesh)
         self._build_steps()
 
     # ------------------------------------------------------------------
@@ -329,18 +375,24 @@ class DetectionTrainer:
                 frac = (i + 1) / max(min(n_batches, 1000), 1)
                 self.set_lr(self.base_lr * min(frac, 1.0))
             self.rng, step_rng = jax.random.split(self.rng)
+            dev_batch = (_shard_batch(batch, self.mesh)
+                         if self.mesh is not None else batch)
             if self.matcher == "device":
                 # single-dispatch path: auction matching runs in-program
                 self.params, self.opt_state, logs = self._train_step_fused(
-                    self.params, self.opt_state, batch, step_rng)
+                    self.params, self.opt_state, dev_batch, step_rng)
             else:
-                costs = np.asarray(self._forward_costs(self.params, batch,
+                costs = np.asarray(self._forward_costs(self.params, dev_batch,
                                                        step_rng))
                 assign = np.stack([
                     hungarian_match(costs[li], batch["box_mask"])
                     for li in range(costs.shape[0])])
+                assign = jnp.asarray(assign)
+                if self.mesh is not None:
+                    assign = jax.device_put(assign, NamedSharding(
+                        self.mesh, PartitionSpec(None, "data")))
                 self.params, self.opt_state, logs = self._train_step(
-                    self.params, self.opt_state, batch, jnp.asarray(assign),
+                    self.params, self.opt_state, dev_batch, assign,
                     step_rng)
             logs = {k: float(v) for k, v in logs.items()}
             if not np.isfinite(logs["loss_total"]):
@@ -396,15 +448,19 @@ class DetectionTrainer:
             if len(buf) < steps_per_dispatch:
                 for batch in buf:
                     self.rng, step_rng = jax.random.split(self.rng)
+                    dev_batch = (_shard_batch(batch, self.mesh)
+                                 if self.mesh is not None else batch)
                     self.params, self.opt_state, logs = \
                         self._train_step_fused(self.params, self.opt_state,
-                                               batch, step_rng)
+                                               dev_batch, step_rng)
                     logs = {k: float(v) for k, v in logs.items()}
                     _accum(logs)
                 buf.clear()
                 return
             batches = {k: np.stack([b[k] for b in buf])
                        for k in buf[0].keys() if k in step_keys}
+            if self.mesh is not None:
+                batches = _shard_batch(batches, self.mesh, axis=1)
             self.params, self.opt_state, losses, self.rng = \
                 self._train_chunk(self.params, self.opt_state, batches,
                                   self.rng)
@@ -439,37 +495,54 @@ class DetectionTrainer:
         ``panoptic=True`` they are additionally painted into segment maps
         and scored as PQ (reference ``object_detr/datasets/panoptic_eval.py``).
         """
+        from concurrent.futures import ThreadPoolExecutor
         evaluator = CocoEvaluator(coco_gt, iou_types)
         want_masks = "segm" in iou_types or panoptic
         pq = None
         if panoptic:
             from vit_torch_tpu.detection.panoptic_eval import PQStat
             pq = PQStat()
-        for batch in loader:
-            preds = jax.device_get(self._predict(self.params, batch))
-            for b in range(len(batch["image_id"])):
-                if batch["mask"][b] == 0:
-                    continue
-                keep = preds["scores"][b] >= score_threshold
-                labels = preds["labels"][b][keep]
-                if label_to_cat:
-                    labels = np.asarray(
-                        [label_to_cat.get(int(l), int(l)) for l in labels])
-                update = {
-                    "boxes": preds["boxes"][b][keep],
-                    "scores": preds["scores"][b][keep],
-                    "labels": labels,
-                }
-                if "keypoints" in preds:
-                    update["keypoints"] = preds["keypoints"][b][keep]
-                if want_masks and "masks" in preds:
-                    update["masks"] = _unletterbox_masks(
-                        preds["masks"][b][keep], batch["scale"][b],
-                        batch["pad"][b], batch["orig_size"][b])
-                img_id = int(batch["image_id"][b])
-                if pq is not None and "masks" in update:
-                    _pq_update(pq, coco_gt, img_id, update)
-                evaluator.update({img_id: update})
+
+        def _prep_image(args):
+            """Per-image host post-processing (pure → runs in the pool):
+            score filter, label remap, mask un-letterbox, PQ rasterize."""
+            preds, batch, b = args
+            keep = preds["scores"][b] >= score_threshold
+            labels = preds["labels"][b][keep]
+            if label_to_cat:
+                labels = np.asarray(
+                    [label_to_cat.get(int(l), int(l)) for l in labels])
+            update = {
+                "boxes": preds["boxes"][b][keep],
+                "scores": preds["scores"][b][keep],
+                "labels": labels,
+            }
+            if "keypoints" in preds:
+                update["keypoints"] = preds["keypoints"][b][keep]
+            if want_masks and "masks" in preds:
+                update["masks"] = _unletterbox_masks(
+                    preds["masks"][b][keep], batch["scale"][b],
+                    batch["pad"][b], batch["orig_size"][b])
+            img_id = int(batch["image_id"][b])
+            pq_args = (_pq_prepare(coco_gt, img_id, update)
+                       if pq is not None and "masks" in update else None)
+            return img_id, update, pq_args
+
+        mesh = getattr(self, "mesh", None)
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for batch in loader:
+                dev_batch = (_shard_batch(batch, mesh)
+                             if mesh is not None else batch)
+                preds = jax.device_get(self._predict(self.params, dev_batch))
+                todo = [(preds, batch, b)
+                        for b in range(len(batch["image_id"]))
+                        if batch["mask"][b] != 0]
+                # heavy per-image work in the pool; the stateful evaluator
+                # and PQ accumulators update serially below
+                for img_id, update, pq_args in pool.map(_prep_image, todo):
+                    if pq_args is not None:
+                        pq.update(*pq_args)
+                    evaluator.update({img_id: update})
         evaluator.synchronize_between_processes()
         evaluator.accumulate()
         out = evaluator.summarize()
@@ -488,12 +561,18 @@ class FasterRCNNTrainer:
     def __init__(self, model, params, *, cfg, lr: float = 2e-3,
                  momentum: float = 0.9, weight_decay: float = 5e-4,
                  augment: bool = False, kp_flip_inds=None,
+                 mesh: Optional[Mesh] = None,
                  norm_values: Optional[dict] = None) -> None:
         # reference optimizer: SGD(momentum .9, wd 5e-4), coco_pipeline.py:464-476
+        # mesh: data-parallel GSPMD training (params replicated, batch
+        # sharded on the 'data' axis) — the whole step incl. device-side
+        # matching/sampling shards cleanly; BatchNorm means become global
+        # (jnp.mean over the sharded axis lowers to an ICI all-reduce)
         self.model = model
         self.cfg = cfg
         self.augment = augment
         self.kp_flip_inds = kp_flip_inds     # COCO left/right swap for hflip
+        self.mesh = mesh
         self.norm = norm_values or NORM_VALUES["imagenet"]
         self.tx = optax.chain(
             optax.clip_by_global_norm(10.0),
@@ -508,6 +587,9 @@ class FasterRCNNTrainer:
         self.weight_decay = weight_decay
         self.params = params
         self.opt_state = self.tx.init(params)
+        if mesh is not None:
+            self.params = _replicate(self.params, mesh)
+            self.opt_state = _replicate(self.opt_state, mesh)
         self.rng = jax.random.PRNGKey(0)
         self._build_steps()
 
@@ -618,6 +700,8 @@ class FasterRCNNTrainer:
                 frac = (i + 1) / max(min(n_batches, 1000), 1)
                 self.set_lr(self.base_lr * min(frac, 1.0))
             self.rng, step_rng = jax.random.split(self.rng)
+            if self.mesh is not None:
+                batch = _shard_batch(batch, self.mesh)
             self.params, self.opt_state, logs, self.model_state = \
                 self._train_step(self.params, self.opt_state, batch,
                                  step_rng, self.model_state)
@@ -663,6 +747,8 @@ class FasterRCNNTrainer:
             if len(buf) < steps_per_dispatch:
                 for batch in buf:     # tail: per-step (no extra compile)
                     self.rng, step_rng = jax.random.split(self.rng)
+                    if self.mesh is not None:
+                        batch = _shard_batch(batch, self.mesh)
                     self.params, self.opt_state, logs, self.model_state = \
                         self._train_step(self.params, self.opt_state, batch,
                                          step_rng, self.model_state)
@@ -671,6 +757,8 @@ class FasterRCNNTrainer:
                 return
             batches = {k: np.stack([b[k] for b in buf])
                        for k in buf[0].keys() if k in step_keys}
+            if self.mesh is not None:
+                batches = _shard_batch(batches, self.mesh, axis=1)
             (self.params, self.opt_state, losses, self.model_state,
              self.rng) = self._train_chunk(self.params, self.opt_state,
                                            batches, self.rng,
