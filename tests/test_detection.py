@@ -585,3 +585,30 @@ def test_unletterbox_masks_nearest_semantics():
             inter = np.logical_and(got[i], want).sum()
             union = max(np.logical_or(got[i], want).sum(), 1)
             assert inter / union >= 0.98, (h, w, S, inter / union)
+
+
+def test_random_erasing_semantics():
+    """Device-side RandomErasing: erased area fraction within the sampled
+    scale range, untouched pixels preserved, prob=0 is identity."""
+    from vit_torch_tpu.detection.transforms import random_erasing
+    rng = jax.random.PRNGKey(0)
+    images = jnp.ones((8, 64, 64, 3), jnp.float32) * 100.0
+    out = np.asarray(random_erasing(rng, images, prob=1.0, value=0.0))
+    for b in range(8):
+        erased = (out[b, :, :, 0] == 0.0)
+        frac = erased.mean()
+        assert 0.01 <= frac <= 0.40, frac          # scale (0.02, 0.33) + clip
+        # erased region is one solid rectangle
+        ys, xs = np.where(erased)
+        area = (ys.max() - ys.min() + 1) * (xs.max() - xs.min() + 1)
+        assert area == erased.sum()
+    same = np.asarray(random_erasing(rng, images, prob=0.0))
+    np.testing.assert_array_equal(same, np.asarray(images))
+    # per-channel value broadcast
+    out3 = np.asarray(random_erasing(rng, images, prob=1.0,
+                                     value=[1.0, 2.0, 3.0]))
+    b = 0
+    erased = out3[b, :, :, 0] == 1.0
+    assert erased.any()
+    assert (out3[b][erased][:, 1] == 2.0).all()
+    assert (out3[b][erased][:, 2] == 3.0).all()

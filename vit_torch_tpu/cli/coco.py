@@ -78,6 +78,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--aug_crop", action="store_true",
                    help="DETR train-time RandomSelect zoom-crop (reference "
                         "object_detr/datasets/transforms.py:242-260)")
+    p.add_argument("--aug_erase", action="store_true",
+                   help="DETR train-time RandomErasing (reference "
+                        "object_detr/datasets/transforms.py RandomErasing)")
     p.add_argument("--no_initial_eval", action="store_true",
                    help="skip the epoch-0 validation pass (reference "
                         "object/coco_pipeline.py:518-528)")
@@ -88,6 +91,10 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default="", type=str,
                    help="resume training from this checkpoint dir")
     p.add_argument("--num_queries", default=100, type=int)
+    p.add_argument("--pre_norm", action="store_true",
+                   help="pre-norm DETR transformer (reference "
+                        "normalize_before variant, transformer.py:18-59; "
+                        "trains stably from scratch without warmup)")
     p.add_argument("--position_embedding", default="sine",
                    choices=["sine", "learned"],
                    help="DETR position encoding variant (reference "
@@ -288,6 +295,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                          hidden_dim=args.hidden_dim,
                          enc_layers=args.enc_layers,
                          dec_layers=args.dec_layers,
+                         pre_norm=args.pre_norm,
                          position_embedding=args.position_embedding)
         if args.masks:
             from vit_torch_tpu.detection.segmentation import DETRSegm
@@ -309,6 +317,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                                    lr=args.lr, masks=args.masks,
                                    augment=not args.no_hflip,
                                    aug_crop=args.aug_crop,
+                                   aug_erase=args.aug_erase,
                                    matcher=args.matcher, opt=args.opt,
                                    weight_decay=args.weight_decay)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

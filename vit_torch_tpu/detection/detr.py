@@ -53,9 +53,15 @@ def sine_position_embedding(h: int, w: int, dim: int,
     return jnp.concatenate([pos_y, pos_x], axis=-1).reshape(1, h * w, -1)
 
 
+_xavier = nn.initializers.xavier_uniform()
+
+
 class MHA(nn.Module):
     """Multi-head attention with external q/k/v inputs (DETR injects
-    position embeddings into q and k)."""
+    position embeddings into q and k).  Xavier-uniform kernels — the
+    upstream DETR transformer re-initializes every >1-dim parameter with
+    ``xavier_uniform_`` (``object_detr/models/transformer.py``), which
+    matters for post-norm trainability."""
 
     num_heads: int
     dtype: Dtype = jnp.float32
@@ -65,47 +71,89 @@ class MHA(nn.Module):
         B, Nq, C = q.shape
         H = self.num_heads
         d = C // H
-        qp = nn.Dense(C, dtype=self.dtype, name="q")(q).reshape(B, Nq, H, d)
-        kp = nn.Dense(C, dtype=self.dtype, name="k")(k).reshape(B, -1, H, d)
-        vp = nn.Dense(C, dtype=self.dtype, name="v")(v).reshape(B, -1, H, d)
+        qp = nn.Dense(C, dtype=self.dtype, kernel_init=_xavier,
+                      name="q")(q).reshape(B, Nq, H, d)
+        kp = nn.Dense(C, dtype=self.dtype, kernel_init=_xavier,
+                      name="k")(k).reshape(B, -1, H, d)
+        vp = nn.Dense(C, dtype=self.dtype, kernel_init=_xavier,
+                      name="v")(v).reshape(B, -1, H, d)
         out = dot_product_attention(qp, kp, vp, scale=d ** -0.5)
         out = out.reshape(B, Nq, C)
-        return nn.Dense(C, dtype=self.dtype, name="out")(out)
+        return nn.Dense(C, dtype=self.dtype, kernel_init=_xavier,
+                        name="out")(out)
 
 
 class EncoderLayer(nn.Module):
     num_heads: int
     ffn_dim: int
+    pre_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, pos):
-        # post-norm (DETR default), pos added to q/k only
+        # post-norm (DETR default) or pre-norm (the reference transformer's
+        # normalize_before variant — trains stably without LR warmup);
+        # pos added to q/k only
+        C = x.shape[-1]
+        if self.pre_norm:
+            y = LayerNorm(dtype=self.dtype, name="norm1")(x)
+            y = MHA(self.num_heads, dtype=self.dtype, name="self_attn")(
+                y + pos, y + pos, y)
+            x = x + y
+            y = LayerNorm(dtype=self.dtype, name="norm2")(x)
+            y = nn.Dense(self.ffn_dim, dtype=self.dtype, kernel_init=_xavier,
+                         name="linear1")(y)
+            y = nn.relu(y)
+            y = nn.Dense(C, dtype=self.dtype, kernel_init=_xavier,
+                         name="linear2")(y)
+            return x + y
         y = MHA(self.num_heads, dtype=self.dtype, name="self_attn")(
             x + pos, x + pos, x)
         x = LayerNorm(dtype=self.dtype, name="norm1")(x + y)
-        y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(x)
+        y = nn.Dense(self.ffn_dim, dtype=self.dtype, kernel_init=_xavier,
+                     name="linear1")(x)
         y = nn.relu(y)
-        y = nn.Dense(x.shape[-1], dtype=self.dtype, name="linear2")(y)
+        y = nn.Dense(C, dtype=self.dtype, kernel_init=_xavier,
+                     name="linear2")(y)
         return LayerNorm(dtype=self.dtype, name="norm2")(x + y)
 
 
 class DecoderLayer(nn.Module):
     num_heads: int
     ffn_dim: int
+    pre_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, memory, query_pos, mem_pos):
+        C = tgt.shape[-1]
+        if self.pre_norm:
+            y = LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+            y = MHA(self.num_heads, dtype=self.dtype, name="self_attn")(
+                y + query_pos, y + query_pos, y)
+            tgt = tgt + y
+            y = LayerNorm(dtype=self.dtype, name="norm2")(tgt)
+            y = MHA(self.num_heads, dtype=self.dtype, name="cross_attn")(
+                y + query_pos, memory + mem_pos, memory)
+            tgt = tgt + y
+            y = LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+            y = nn.Dense(self.ffn_dim, dtype=self.dtype, kernel_init=_xavier,
+                         name="linear1")(y)
+            y = nn.relu(y)
+            y = nn.Dense(C, dtype=self.dtype, kernel_init=_xavier,
+                         name="linear2")(y)
+            return tgt + y
         y = MHA(self.num_heads, dtype=self.dtype, name="self_attn")(
             tgt + query_pos, tgt + query_pos, tgt)
         tgt = LayerNorm(dtype=self.dtype, name="norm1")(tgt + y)
         y = MHA(self.num_heads, dtype=self.dtype, name="cross_attn")(
             tgt + query_pos, memory + mem_pos, memory)
         tgt = LayerNorm(dtype=self.dtype, name="norm2")(tgt + y)
-        y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(tgt)
+        y = nn.Dense(self.ffn_dim, dtype=self.dtype, kernel_init=_xavier,
+                     name="linear1")(tgt)
         y = nn.relu(y)
-        y = nn.Dense(tgt.shape[-1], dtype=self.dtype, name="linear2")(y)
+        y = nn.Dense(C, dtype=self.dtype, kernel_init=_xavier,
+                     name="linear2")(y)
         return LayerNorm(dtype=self.dtype, name="norm3")(tgt + y)
 
 
@@ -135,6 +183,10 @@ class DETRConfig:
     # "sine" (default) or "learned" — the reference's two variants
     # (object_detr/models/position_encoding.py:12-76)
     position_embedding: str = "sine"
+    # pre-norm encoder/decoder (the reference transformer's
+    # normalize_before variant, transformer.py:18-59) — post-norm is the
+    # DETR default but needs warmup; pre-norm trains stably from scratch
+    pre_norm: bool = False
 
 
 class LearnedPositionEmbedding(nn.Module):
@@ -193,8 +245,11 @@ class DETR(nn.Module):
         memory = src
         for i in range(cfg.enc_layers):
             memory = EncoderLayer(cfg.num_heads, cfg.ffn_dim,
-                                  dtype=self.dtype,
+                                  pre_norm=cfg.pre_norm, dtype=self.dtype,
                                   name=f"encoder_{i}")(memory, pos)
+        if cfg.pre_norm:
+            # upstream: encoder_norm when normalize_before
+            memory = LayerNorm(dtype=self.dtype, name="encoder_norm")(memory)
 
         query_embed = self.param("query_embed", trunc_normal_init,
                                  (cfg.num_queries, cfg.hidden_dim),
@@ -209,7 +264,8 @@ class DETR(nn.Module):
         decoder_norm = LayerNorm(dtype=self.dtype, name="decoder_norm")
         intermediates = []
         for i in range(cfg.dec_layers):
-            tgt = DecoderLayer(cfg.num_heads, cfg.ffn_dim, dtype=self.dtype,
+            tgt = DecoderLayer(cfg.num_heads, cfg.ffn_dim,
+                               pre_norm=cfg.pre_norm, dtype=self.dtype,
                                name=f"decoder_{i}")(tgt, memory, query_pos, pos)
             intermediates.append(decoder_norm(tgt))
 

@@ -32,7 +32,8 @@ from vit_torch_tpu.detection.coco_eval import CocoEvaluator
 from vit_torch_tpu.detection.detr import detr_losses, postprocess
 from vit_torch_tpu.detection.matcher import (
     auction_assign, cost_matrices, hungarian_match)
-from vit_torch_tpu.detection.transforms import random_hflip, random_zoom_crop
+from vit_torch_tpu.detection.transforms import (
+    random_erasing, random_hflip, random_zoom_crop)
 
 
 def _replicate(tree, mesh: Mesh):
@@ -131,7 +132,8 @@ class DetectionTrainer:
                  lr: float = 1e-4, weight_decay: float = 1e-4,
                  warmup_steps: int = 0, grad_clip: float = 0.1,
                  masks: bool = False, augment: bool = False,
-                 aug_crop: bool = False, matcher: str = "host",
+                 aug_crop: bool = False, aug_erase: bool = False,
+                 matcher: str = "host",
                  opt: str = "adamw", momentum: float = 0.9,
                  mesh: Optional[Mesh] = None,
                  norm_values: Optional[dict] = None) -> None:
@@ -155,6 +157,7 @@ class DetectionTrainer:
         self.masks = masks
         self.augment = augment
         self.aug_crop = aug_crop
+        self.aug_erase = aug_erase
         self.matcher = matcher
         self.rng = jax.random.PRNGKey(0)
         self.norm = norm_values or NORM_VALUES["imagenet"]
@@ -188,23 +191,31 @@ class DetectionTrainer:
         norm = self.norm
         augment = self.augment
         aug_crop = self.aug_crop
+        aug_erase = self.aug_erase
+        erase_value = [255.0 * m for m in norm["mean"]]
 
         def _augmented(batch, rng, with_masks=False):
-            """Flip (+ optional zoom-crop) images+boxes(+masks) — the random
-            draws are deterministic in the key, so forward_costs and
-            train_step see the same augmentation."""
+            """Flip (+ optional zoom-crop + optional erasing) of
+            images+boxes(+masks) — the random draws are deterministic in
+            the key, so forward_costs and train_step see the same
+            augmentation."""
             images = jnp.asarray(batch["image"])
             boxes = jnp.asarray(batch["boxes"])
             box_mask = jnp.asarray(batch["box_mask"])
             masks = (jnp.asarray(batch["gt_masks"])
                      if with_masks and "gt_masks" in batch else None)
             if augment:
-                r_flip, r_crop = jax.random.split(rng)
+                r_flip, r_crop, r_erase = jax.random.split(rng, 3)
                 images, boxes, masks = random_hflip(r_flip, images, boxes,
                                                     image_size, masks)
                 if aug_crop:
                     images, boxes, box_mask, masks = random_zoom_crop(
                         r_crop, images, boxes, box_mask, image_size, masks)
+                if aug_erase:
+                    # erase with the dataset mean so the patch normalizes
+                    # to zero (torchvision post-normalize semantics)
+                    images = random_erasing(r_erase, images,
+                                            value=erase_value)
             return images, boxes, box_mask, masks
 
         @jax.jit

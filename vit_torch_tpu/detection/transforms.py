@@ -87,6 +87,44 @@ def random_zoom_crop(rng: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
     return images, boxes, box_mask, masks
 
 
+def random_erasing(rng: jax.Array, images: jnp.ndarray, *,
+                   prob: float = 0.5,
+                   scale: Tuple[float, float] = (0.02, 0.33),
+                   ratio: Tuple[float, float] = (0.3, 3.3),
+                   value=0.0) -> jnp.ndarray:
+    """Per-sample RandomErasing on a (B, S, S, C) batch — the reference DETR
+    train-time transform (``object_detr/datasets/transforms.py``
+    ``RandomErasing`` = torchvision semantics: erase a rectangle of area
+    ``U[scale]·S²`` and aspect ``exp(U[log ratio])`` with ``value``).
+
+    TPU-first: fixed-shape mask arithmetic (coordinate grids vs a sampled
+    rectangle — no dynamic slice), fuses into the surrounding jitted step.
+    Box/mask targets are left untouched, like the reference.  ``value`` may
+    be a per-channel sequence (pass the dataset mean ×255 so the erased
+    patch normalizes to zero, torchvision's post-normalize semantics).
+    """
+    B, H, W = images.shape[:3]
+    r_apply, r_area, r_ratio, r_pos = jax.random.split(rng, 4)
+    apply = jax.random.bernoulli(r_apply, prob, (B,))
+    area = jax.random.uniform(r_area, (B,), minval=scale[0],
+                              maxval=scale[1]) * (H * W)
+    log_r = jax.random.uniform(
+        r_ratio, (B,), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1]))
+    aspect = jnp.exp(log_r)
+    eh = jnp.clip(jnp.sqrt(area * aspect), 1.0, H)
+    ew = jnp.clip(jnp.sqrt(area / aspect), 1.0, W)
+    pos = jax.random.uniform(r_pos, (B, 2))
+    y0 = pos[:, 0] * (H - eh)
+    x0 = pos[:, 1] * (W - ew)
+    yy = jnp.arange(H, dtype=jnp.float32)[None, :, None]      # (1, H, 1)
+    xx = jnp.arange(W, dtype=jnp.float32)[None, None, :]      # (1, 1, W)
+    inside = ((yy >= y0[:, None, None]) & (yy < (y0 + eh)[:, None, None])
+              & (xx >= x0[:, None, None]) & (xx < (x0 + ew)[:, None, None]))
+    erase = inside & apply[:, None, None]
+    return jnp.where(erase[..., None], jnp.asarray(value, images.dtype),
+                     images)
+
+
 def random_hflip(rng: jax.Array, images: jnp.ndarray, boxes: jnp.ndarray,
                  image_size: int, masks: Optional[jnp.ndarray] = None,
                  prob: float = 0.5,
