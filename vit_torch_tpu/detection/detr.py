@@ -251,7 +251,12 @@ class DETR(nn.Module):
             # upstream: encoder_norm when normalize_before
             memory = LayerNorm(dtype=self.dtype, name="encoder_norm")(memory)
 
-        query_embed = self.param("query_embed", trunc_normal_init,
+        # N(0, 1) like torch nn.Embedding's default — query diversity is the
+        # anchor structure of set prediction; a 0.02-std init leaves the
+        # queries nearly identical and the Hungarian assignment thrashes
+        # (measured: synthetic convergence stalls at AP ~0.02)
+        query_embed = self.param("query_embed",
+                                 nn.initializers.normal(stddev=1.0),
                                  (cfg.num_queries, cfg.hidden_dim),
                                  jnp.float32)
         query_pos = jnp.broadcast_to(query_embed.astype(src.dtype),

@@ -122,9 +122,14 @@ class DETRSegm(nn.Module):
         memory = src
         for i in range(cfg.enc_layers):
             memory = EncoderLayer(cfg.num_heads, cfg.ffn_dim,
-                                  dtype=self.dtype,
+                                  pre_norm=cfg.pre_norm, dtype=self.dtype,
                                   name=f"encoder_{i}")(memory, pos)
-        query_embed = self.param("query_embed", trunc_normal_init,
+        if cfg.pre_norm:
+            from vit_torch_tpu.models.layers import LayerNorm as _LN
+            memory = _LN(dtype=self.dtype, name="encoder_norm")(memory)
+        # N(0, 1) like torch nn.Embedding (see detr.py query_embed note)
+        query_embed = self.param("query_embed",
+                                 nn.initializers.normal(stddev=1.0),
                                  (cfg.num_queries, cfg.hidden_dim),
                                  jnp.float32)
         query_pos = jnp.broadcast_to(query_embed.astype(src.dtype),
@@ -136,7 +141,8 @@ class DETRSegm(nn.Module):
         box_head = BoxMLP(cfg.hidden_dim, dtype=self.dtype, name="bbox_embed")
         intermediates = []
         for i in range(cfg.dec_layers):
-            tgt = DecoderLayer(cfg.num_heads, cfg.ffn_dim, dtype=self.dtype,
+            tgt = DecoderLayer(cfg.num_heads, cfg.ffn_dim,
+                               pre_norm=cfg.pre_norm, dtype=self.dtype,
                                name=f"decoder_{i}")(tgt, memory, query_pos,
                                                     pos)
             intermediates.append(decoder_norm(tgt))

@@ -76,16 +76,18 @@ def _pad_lane(n: int) -> int:
     return -(-n // _LANE) * _LANE
 
 
-def _static_bytes(wb: int, N: int, C: int, H: int, has_mask: bool) -> int:
+def _static_bytes(wb: int, N: int, C: int, H: int, has_mask: bool,
+                  groups: int = 1) -> int:
     np_ = _pad_lane(N)
-    weights = (C * _pad_lane(3 * C) + C * _pad_lane(C)) * 2
-    bias = H * N * np_ * 4
+    ca = C // groups
+    weights = (C * _pad_lane(3 * ca) + ca * _pad_lane(C)) * 2
+    bias = (H // groups) * N * np_ * 4
     mask = (wb * N * np_ * 4) if has_mask else 0
     return weights + bias + mask
 
 
 def pick_window_block(nW_img: int, Bn: int, N: int, C: int, H: int,
-                      has_mask: bool) -> int:
+                      has_mask: bool, groups: int = 1) -> int:
     """Largest WB dividing nW_img (mask alignment) and Bn that fits VMEM.
     Returns 0 when even WB=1 does not fit (caller must fall back)."""
     act_budget = _ACT_ELEMS_MASKED if has_mask else _ACT_ELEMS_NOMASK
@@ -94,10 +96,28 @@ def pick_window_block(nW_img: int, Bn: int, N: int, C: int, H: int,
     wb = min(nW_img, Bn, act_budget // (N * C))
     while wb >= 1:
         if nW_img % wb == 0 and Bn % wb == 0 and \
-                _static_bytes(wb, N, C, H, has_mask) <= _STATIC_BUDGET:
+                _static_bytes(wb, N, C, H, has_mask,
+                              groups) <= _STATIC_BUDGET:
             return wb
         wb -= 1
     return 0
+
+
+def pick_config(nW_img: int, Bn: int, N: int, C: int, H: int,
+                has_mask: bool):
+    """(wb, groups) for these shapes: groups > 1 = head-split mode (each
+    pallas call covers H/groups heads with sliced weights — stage-4
+    C >= 1024 exceeds VMEM with the full weight set).  (0, 0) = no fit."""
+    for groups in (1, 2, 4, 8):
+        if H % groups:
+            continue
+        ca = C // groups
+        if ca % (H // groups) or ca % 32:
+            continue
+        wb = pick_window_block(nW_img, Bn, N, C, H, has_mask, groups)
+        if wb:
+            return wb, groups
+    return 0, 0
 
 
 # --------------------------------------------------------------------------
@@ -113,17 +133,20 @@ def _fwd_kernel(*refs, num_heads: int, scale: float, has_mask: bool,
         (x_ref, wqkv_ref, bqkv_ref, bias_ref, wproj_ref, bproj_ref,
          o_ref) = refs
     WB, N, C = x_ref.shape
-    D = C // num_heads
+    # Ca = attention width of THIS program's head group (== C except in
+    # head-split mode, where each program covers H/G heads of a C-wide x)
+    Ca = wqkv_ref.shape[1] // 3
+    D = Ca // num_heads
     x = x_ref[...].reshape(WB * N, C)
     qkv = jax.lax.dot(x, wqkv_ref[...], preferred_element_type=jnp.float32)
     qkv = qkv + bqkv_ref[...].astype(jnp.float32)
-    qkv = qkv.astype(x.dtype)                               # (WB·N, 3C)
+    qkv = qkv.astype(x.dtype)                               # (WB·N, 3Ca)
     mask = mask_ref[...].astype(jnp.float32) if has_mask else None
     heads = []
     for h in range(num_heads):
         q = qkv[:, h * D:(h + 1) * D].reshape(WB, N, D)
-        k = qkv[:, C + h * D:C + (h + 1) * D].reshape(WB, N, D)
-        v = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D].reshape(WB, N, D)
+        k = qkv[:, Ca + h * D:Ca + (h + 1) * D].reshape(WB, N, D)
+        v = qkv[:, 2 * Ca + h * D:2 * Ca + (h + 1) * D].reshape(WB, N, D)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale     # (WB, N, N)
@@ -140,7 +163,7 @@ def _fwd_kernel(*refs, num_heads: int, scale: float, has_mask: bool,
             p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         heads.append((o / l).astype(x.dtype).reshape(WB * N, D))
-    attn = jnp.concatenate(heads, axis=-1)                  # (WB·N, C)
+    attn = jnp.concatenate(heads, axis=-1)                  # (WB·N, Ca)
     out = jax.lax.dot(attn, wproj_ref[...],
                       preferred_element_type=jnp.float32)
     out = out + bproj_ref[...].astype(jnp.float32)
@@ -148,16 +171,39 @@ def _fwd_kernel(*refs, num_heads: int, scale: float, has_mask: bool,
 
 
 def _fwd_impl(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads, scale,
-              wb, kv_len):
+              wb, kv_len, groups=1):
     Bn, N, C = x.shape
     has_mask = mask is not None
+    if groups > 1:
+        # head-split mode (stage-4 shapes: C >= 1024 puts the full weight
+        # set past VMEM): each pallas call covers H/G heads with sliced
+        # qkv columns / bias rows / proj rows; partial projections sum in
+        # XLA.  b_proj rides on group 0 only.
+        Hg = num_heads // groups
+        Ca = C // groups
+        out = None
+        for g in range(groups):
+            wq_g = jnp.concatenate(
+                [w_qkv[:, t * C + g * Ca:t * C + (g + 1) * Ca]
+                 for t in range(3)], axis=1)                 # (C, 3Ca)
+            bq_g = jnp.concatenate(
+                [b_qkv[:, t * C + g * Ca:t * C + (g + 1) * Ca]
+                 for t in range(3)], axis=1)                 # (1, 3Ca)
+            bias_g = bias[g * Hg:(g + 1) * Hg]
+            wp_g = w_proj[g * Ca:(g + 1) * Ca, :]            # (Ca, C)
+            bp_g = b_proj if g == 0 else jnp.zeros_like(b_proj)
+            part = _fwd_impl(x, wq_g, bq_g, bias_g, mask, wp_g, bp_g,
+                             Hg, scale, wb, kv_len)
+            out = part if out is None else out + part
+        return out
+    Ca = w_qkv.shape[1] // 3
     grid = (Bn // wb,)
     xspec = pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0))
     H = num_heads
     in_specs = [
         xspec,
-        pl.BlockSpec((C, 3 * C), lambda i: (0, 0)),
-        pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
+        pl.BlockSpec((C, 3 * Ca), lambda i: (0, 0)),
+        pl.BlockSpec((1, 3 * Ca), lambda i: (0, 0)),
         pl.BlockSpec((H, N, N), lambda i: (0, 0, 0)),
     ]
     args = [x, w_qkv, b_qkv, bias]
@@ -167,7 +213,7 @@ def _fwd_impl(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads, scale,
                                      lambda i: (i % n_mask_blocks, 0, 0)))
         args.append(mask)
     in_specs.extend([
-        pl.BlockSpec((C, C), lambda i: (0, 0)),
+        pl.BlockSpec((Ca, C), lambda i: (0, 0)),
         pl.BlockSpec((1, C), lambda i: (0, 0)),
     ])
     args.extend([w_proj, b_proj])
@@ -215,21 +261,21 @@ def _ref_forward(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads,
     return jnp.dot(out, w_proj) + b_proj[0].astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def _window_block(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads,
-                  scale, wb, kv_len):
+                  scale, wb, kv_len, groups):
     return _fwd_impl(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads,
-                     scale, wb, kv_len)
+                     scale, wb, kv_len, groups)
 
 
 def _wb_fwd(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads, scale,
-            wb, kv_len):
+            wb, kv_len, groups):
     out = _fwd_impl(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads,
-                    scale, wb, kv_len)
+                    scale, wb, kv_len, groups)
     return out, (x, w_qkv, b_qkv, bias, mask, w_proj, b_proj)
 
 
-def _wb_bwd(num_heads, scale, wb, kv_len, res, do):
+def _wb_bwd(num_heads, scale, wb, kv_len, groups, res, do):
     # padded window rows (kv_len < N) carry zero cotangents: the public
     # wrapper slices them off, so `do` arrives zero there and the recompute
     # path's key contributions cancel in the bias/mask padding (zeros)
@@ -278,7 +324,7 @@ def window_block(x: jax.Array, w_qkv: jax.Array,
         if mask is not None:
             mask = jnp.pad(mask, ((0, 0), (0, pad), (0, pad)))
     nW = mask.shape[0] if mask is not None else min(Bn, 64)
-    wb = pick_window_block(nW, Bn, NP, C, num_heads, mask is not None)
+    wb, groups = pick_config(nW, Bn, NP, C, num_heads, mask is not None)
     if wb == 0:
         raise ValueError("window_block working set exceeds VMEM; "
                          "check fits() before dispatching")
@@ -288,7 +334,7 @@ def window_block(x: jax.Array, w_qkv: jax.Array,
         b_proj = jnp.zeros((C,), x.dtype)
     out = _window_block(x, w_qkv, b_qkv.reshape(1, 3 * C), bias, mask,
                         w_proj, b_proj.reshape(1, C), num_heads,
-                        float(scale), wb, kv_len)
+                        float(scale), wb, kv_len, groups)
     return out[:, :N] if NP != N else out
 
 
@@ -305,6 +351,6 @@ def fits(Bn: int, N: int, C: int, num_heads: int, nW: Optional[int]) -> bool:
         return False
     if nW is not None and Bn % nW:
         return False
-    return pick_window_block(nW if nW is not None else min(Bn, 64),
-                             Bn, _pad_sublane(N), C, num_heads,
-                             nW is not None) > 0
+    wb, _ = pick_config(nW if nW is not None else min(Bn, 64),
+                        Bn, _pad_sublane(N), C, num_heads, nW is not None)
+    return wb > 0
