@@ -54,7 +54,13 @@ CONFIGS = [
      "baseline_img_s": 1.0 / 0.0108, "headline": True},
     {"name": "dino_vitb8 finetune 224px bs32", "arch": "dino_vitb8",
      "image_size": 224, "bs": 32, "lineareval": False,
-     "baseline_img_s": None},
+     "baseline_img_s": None},      # no logged reference at this size
+    # the reference's ACTUAL finetune operating point: CIFAR-10 32px bs128,
+    # best epoch 28.19 s / 50k images = 1774 img/s on 1x3090
+    # (logs/stats_master_210624.json "210623_155824" train[].time_cost)
+    {"name": "dino_vitb8 finetune 32px bs128", "arch": "dino_vitb8",
+     "image_size": 32, "bs": 128, "lineareval": False,
+     "baseline_img_s": 1773.8},
     {"name": "swin_base_384 lineareval 384px bs32",
      "arch": "swin_base_patch4_window12_384_22k",
      "image_size": 384, "bs": 32, "lineareval": True,

@@ -109,6 +109,10 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="category-id subset filter")
     p.add_argument("--stats_fp",
                    default=f"./logs/coco/stats_{time.strftime('%y%m%d_%H%M%S')}.json")
+    p.add_argument("--mesh", default="", type=str,
+                   help="data-parallel device mesh spec, e.g. 'data=8' or ''"
+                        " = single device (detection DP: params replicated,"
+                        " batch sharded, GSPMD gradient all-reduce)")
     p.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
@@ -221,6 +225,18 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     print(f"train: {len(train_ds)} images, val: {len(val_ds)} images, "
           f"{train_ds.num_classes} classes")
 
+    mesh = None
+    if args.mesh:
+        from vit_torch_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.mesh)
+        if mesh.shape.get("model", 1) != 1 or mesh.shape.get("seq", 1) != 1:
+            raise SystemExit("detection supports data-parallel meshes only "
+                             "(e.g. --mesh data=8)")
+        if args.bs % mesh.shape["data"]:
+            raise SystemExit(f"--bs {args.bs} must divide the data axis "
+                             f"({mesh.shape['data']})")
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     from vit_torch_tpu.models.swin import SWIN_CONFIGS, SwinTransformer
     from vit_torch_tpu.models.resnet import RESNET_CONFIGS, ResNet
@@ -283,7 +299,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                 kp_flip = kp_flip_inds_from_names(train_ds.kp_names)
         trainer = FasterRCNNTrainer(model, params, cfg=cfg, lr=args.lr,
                                     augment=not args.no_hflip,
-                                    kp_flip_inds=kp_flip)
+                                    kp_flip_inds=kp_flip, mesh=mesh)
         trainer.model_state = model_state
     else:
         if args.backbone not in SWIN_CONFIGS:
@@ -319,6 +335,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                                    aug_crop=args.aug_crop,
                                    aug_erase=args.aug_erase,
                                    matcher=args.matcher, opt=args.opt,
+                                   mesh=mesh,
                                    weight_decay=args.weight_decay)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"model: {n_params / 1e6:.1f}M params ({args.head})")
