@@ -42,8 +42,11 @@ def main() -> None:
 
     size = 96
     tmp = tempfile.mkdtemp(prefix="detr_conv_")
+    # 1024 train images: DETR has no anchor/translation-equivariance prior,
+    # so it needs an order of magnitude more data than FasterRCNN to
+    # generalize (128 images: memorizes to train-AP 0.75 but val-AP 0.007)
     tr_img, tr_ann = make_synthetic_coco(
-        os.path.join(tmp, "train"), n_images=128, size=size, seed=0)
+        os.path.join(tmp, "train"), n_images=1024, size=size, seed=0)
     va_img, va_ann = make_synthetic_coco(
         os.path.join(tmp, "val"), n_images=32, size=size, seed=1)
     train_ds = CocoDetectionDataset(tr_img, tr_ann, image_size=size,
@@ -70,7 +73,7 @@ def main() -> None:
                                num_classes=train_ds.num_classes,
                                lr=args.lr, augment=True, matcher="device")
 
-    record = {"info": {"dataset": "synthetic rectangles", "images": 128,
+    record = {"info": {"dataset": "synthetic rectangles", "images": 1024,
                        "size": size, "epochs": args.epochs, "lr": args.lr,
                        "augment": "hflip", "backbone": "swin_test",
                        "head": "detr",
