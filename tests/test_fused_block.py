@@ -94,16 +94,20 @@ def test_window_block_backward():
 
 
 def test_window_block_fits_gates():
-    """Shape gates: lane alignment, mask tiling, the VMEM static budget
-    (swin stage-4 weights + 32-head bias table must NOT fit); window-7's
-    N=49 fits via sublane padding."""
-    from vit_torch_tpu.ops.window_block import fits
+    """Shape gates: lane alignment, mask tiling, the VMEM static budget;
+    window-7's N=49 fits via sublane padding; stage-4 (C=1024, 32 heads)
+    fits via head-split groups."""
+    from vit_torch_tpu.ops.window_block import fits, pick_config
     assert not fits(8, 64, 120, 3, None)         # C not a 32-lane granule
     assert fits(8, 64, 96, 3, None)              # swin_tiny stage 1 (C=96)
     assert not fits(7, 64, 128, 4, 4)            # Bn not tiled by nW
     assert fits(2048, 49, 128, 4, 64)            # swin_base_224: padded
     assert fits(2048, 144, 128, 4, 64)           # swin_base_384 stage 1
-    assert not fits(32, 144, 1024, 32, 1)        # stage 4: static budget
+    assert fits(32, 144, 1024, 32, 1)            # stage 4: head-split
+    assert pick_config(1, 32, 144, 1024, 32, True)[1] == 2
+    # swin_large stage 4 (C=1536): x block itself exceeds the masked
+    # activation budget — stays on the attention-only fallback
+    assert not fits(32, 144, 1536, 48, 1)
 
 
 @pytest.mark.parametrize("masked,C", [(True, 128), (False, 128),
@@ -230,3 +234,45 @@ def test_fused_mlp_in_mlp_module(monkeypatch):
     ours = m.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_window_block_head_split_groups():
+    """Head-split mode (stage-4 shapes: weights past the VMEM budget) —
+    G pallas calls over sliced qkv columns / bias rows / proj rows summed
+    in XLA must equal the single-call kernel and the XLA reference."""
+    from vit_torch_tpu.ops.window_block import _fwd_impl
+    x, w_qkv, b_qkv, bias, mask, w_proj, b_proj = _wb_inputs(
+        Bn=8, N=64, C=128, H=4, nW=4, seed=3)
+    scale = (128 // 4) ** -0.5
+    ref = _wb_ref(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, 4)
+    for groups in (2, 4):
+        out = _fwd_impl(x, w_qkv, b_qkv.reshape(1, -1), bias, mask, w_proj,
+                        b_proj.reshape(1, -1), 4, scale, wb=4, kv_len=64,
+                        groups=groups)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_window_block_head_split_grads():
+    """Gradients flow through the head-split public path (recompute VJP)."""
+    from vit_torch_tpu.ops.window_block import _window_block
+    x, w_qkv, b_qkv, bias, mask, w_proj, b_proj = _wb_inputs(
+        Bn=4, N=16, C=64, H=4, nW=2, seed=4)
+
+    def loss(w_qkv, w_proj):
+        out = _window_block(
+            x, w_qkv, b_qkv.reshape(1, -1), bias, mask, w_proj,
+            b_proj.reshape(1, -1), 4, (64 // 4) ** -0.5, 2, 16, 2)
+        return jnp.sum(out ** 2)
+
+    g1, g2 = jax.grad(loss, argnums=(0, 1))(w_qkv, w_proj)
+
+    def loss_ref(w_qkv, w_proj):
+        return jnp.sum(_wb_ref(x, w_qkv, b_qkv, bias, mask, w_proj,
+                               b_proj, 4) ** 2)
+
+    r1, r2 = jax.grad(loss_ref, argnums=(0, 1))(w_qkv, w_proj)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(r1), rtol=1e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(r2), rtol=1e-3,
+                               atol=1e-3)
