@@ -1,0 +1,94 @@
+"""Upper-bound check: pure-XLA batched QK^T + PV at the headline shape, plus
+a pallas variant with q-blocked grid (multiple programs per bh => pipelining)."""
+import functools, os, sys, time
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B, H, N, D = 32, 12, 785, 64
+NP = 800
+BH = B * H
+
+rng = np.random.default_rng(0)
+q = jnp.asarray(rng.normal(0, 1, (BH, NP, D)), jnp.bfloat16)
+k = jnp.asarray(rng.normal(0, 1, (BH, NP, D)), jnp.bfloat16)
+v = jnp.asarray(rng.normal(0, 1, (BH, NP, D)), jnp.bfloat16)
+
+def bench(f, name, *args):
+    @jax.jit
+    def many(q, k, v):
+        def body(c, _):
+            return f(c, k, v), ()
+        out, _ = jax.lax.scan(body, q, None, length=10)
+        return out
+    out = many(*args); float(jnp.sum(out))
+    t0 = time.perf_counter()
+    out = many(*args); float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / 10
+    flops = 2 * BH * (NP * NP * D * 2)
+    print(f"{name}: {dt*1000:.3f} ms  {flops/dt/1e12:.1f} TF/s", flush=True)
+
+def xla_attn(q, k, v):
+    s = jnp.einsum("bnd,bmd->bnm", q, k,
+                   preferred_element_type=jnp.float32) * (D ** -0.5)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bnm,bmd->bnd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+def xla_mm(q, k, v):
+    s = jnp.einsum("bnd,bmd->bnm", q, k,
+                   preferred_element_type=jnp.float32) * (D ** -0.5)
+    return jnp.einsum("bnm,bmd->bnd", s.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+bench(xla_mm,   "XLA matmuls only", q, k, v)
+bench(xla_attn, "XLA full attn   ", q, k, v)
+
+# pallas with QB q-block grid: (bh, nq) programs, k/v full per program
+for QB in (200, 400):
+    def kern(q_ref, k_ref, v_ref, o_ref, *, scale):
+        qq, kk, vv = q_ref[0], k_ref[0], v_ref[0]
+        s = jax.lax.dot_general(qq, kk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot(p.astype(vv.dtype), vv,
+                        preferred_element_type=jnp.float32)
+        o_ref[0] = (o / l).astype(o_ref.dtype)
+    f = pl.pallas_call(
+        functools.partial(kern, scale=D ** -0.5),
+        out_shape=jax.ShapeDtypeStruct((BH, NP, D), jnp.bfloat16),
+        grid=(BH, NP // QB),
+        in_specs=[pl.BlockSpec((1, QB, D), lambda i, j: (i, j, 0)),
+                  pl.BlockSpec((1, NP, D), lambda i, j: (i, 0, 0)),
+                  pl.BlockSpec((1, NP, D), lambda i, j: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, QB, D), lambda i, j: (i, j, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")))
+    bench(f, f"pallas qblock={QB:3d} ", q, k, v)
+
+# pallas: 2 bh per program (wider batch per program)
+for BB in (2, 4):
+    def kern2(q_ref, k_ref, v_ref, o_ref, *, scale):
+        qq, kk, vv = q_ref[...], k_ref[...], v_ref[...]
+        s = jax.lax.dot_general(qq, kk, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(vv.dtype), vv,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        o_ref[...] = (o / l).astype(o_ref.dtype)
+    f = pl.pallas_call(
+        functools.partial(kern2, scale=D ** -0.5),
+        out_shape=jax.ShapeDtypeStruct((BH, NP, D), jnp.bfloat16),
+        grid=(BH // BB,),
+        in_specs=[pl.BlockSpec((BB, NP, D), lambda i: (i, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((BB, NP, D), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)))
+    bench(f, f"pallas bh-block={BB} ", q, k, v)
