@@ -47,6 +47,30 @@ def test_heatmaps_to_keypoints_roundtrip():
     assert float(kps[0, 0, 2]) > 0.99   # spike softmax prob
 
 
+def test_heatmaps_to_keypoints_subbin_refinement():
+    """A Gaussian peak at a non-bin-center position decodes closer to the
+    true position than the bin center (3x3 soft-argmax refinement)."""
+    from vit_torch_tpu.detection.keypoint import heatmaps_to_keypoints
+    HM = 8
+    box = jnp.asarray([[0.0, 0.0, float(HM), float(HM)]])   # 1 px per bin
+    y0, x0 = 2.3, 5.7                                       # true, in bins
+    yy, xx = np.meshgrid(np.arange(HM) + 0.5, np.arange(HM) + 0.5,
+                         indexing="ij")
+    logits = -(((yy - y0) ** 2 + (xx - x0) ** 2) / (2 * 0.6 ** 2))
+    kps = heatmaps_to_keypoints(
+        jnp.asarray(logits[None, :, :, None], jnp.float32), box)
+    dec_x, dec_y = float(kps[0, 0, 0]), float(kps[0, 0, 1])
+    # argmax bin center is (5.5, 2.5): 0.2 bins off on each axis
+    assert abs(dec_x - x0) < 0.1, dec_x
+    assert abs(dec_y - y0) < 0.1, dec_y
+    # border peak: refinement must stay inside the grid
+    edge = np.full((1, HM, HM, 1), -10.0, np.float32)
+    edge[0, 0, HM - 1, 0] = 10.0
+    ek = heatmaps_to_keypoints(jnp.asarray(edge), box)
+    assert 0.0 <= float(ek[0, 0, 0]) <= HM
+    assert 0.0 <= float(ek[0, 0, 1]) <= HM
+
+
 def test_keypoint_loss_signal():
     """Loss is positive for random logits, near zero for one-hot-correct
     logits, and zero when no roi is positive."""

@@ -134,10 +134,13 @@ def heatmaps_to_keypoints(kp_logits: jnp.ndarray, boxes: jnp.ndarray,
     """Decode heatmap logits back to image-coordinate keypoints.
 
     kp_logits: (..., HM, HM, K); boxes: (..., 4) xyxy.
-    Returns (..., K, 3): x, y at the argmax bin center mapped through the
+    Returns (..., K, 3): x, y at the argmax bin center — refined by a 3×3
+    soft-argmax around the peak for sub-bin precision — mapped through the
     box, and the softmax probability as the score (torchvision
-    ``heatmaps_to_keypoints`` decodes at box resolution; bin centers on the
-    static grid are the fixed-shape equivalent)."""
+    ``heatmaps_to_keypoints`` decodes at box resolution; the refined
+    static-grid mapping is the fixed-shape equivalent; measured decode
+    floor is kpAP 1.000 on the synthetic set, see PERF.md keypoint
+    ledger)."""
     HM = kp_logits.shape[-2]
     lead = kp_logits.shape[:-3]
     K = kp_logits.shape[-1]
@@ -145,8 +148,30 @@ def heatmaps_to_keypoints(kp_logits: jnp.ndarray, boxes: jnp.ndarray,
     prob = jax.nn.softmax(flat.astype(jnp.float32), axis=-2)
     idx = jnp.argmax(flat, axis=-2)                      # (..., K)
     score = jnp.take_along_axis(prob, idx[..., None, :], -2)[..., 0, :]
-    by = (idx // HM).astype(jnp.float32) + 0.5
-    bx = (idx % HM).astype(jnp.float32) + 0.5
+    iy = idx // HM
+    ix = idx % HM
+    # 3×3 soft-argmax refinement: probability-weighted offset of the
+    # neighborhood around the peak, clamped at the heatmap border (the
+    # clamped duplicate weights cancel in the normalized mean).
+    num_x = jnp.zeros_like(score)
+    num_y = jnp.zeros_like(score)
+    den = jnp.zeros_like(score)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ny = jnp.clip(iy + dy, 0, HM - 1)
+            nx = jnp.clip(ix + dx, 0, HM - 1)
+            w = jnp.take_along_axis(
+                prob, (ny * HM + nx)[..., None, :], -2)[..., 0, :]
+            # a clamped neighbor reads an in-grid bin that is NOT at
+            # (dy, dx) — drop it from the mean instead of mis-weighting
+            w = w * ((ny == iy + dy) & (nx == ix + dx)).astype(w.dtype)
+            num_y = num_y + w * dy
+            num_x = num_x + w * dx
+            den = den + w
+    off_y = num_y / jnp.maximum(den, 1e-12)
+    off_x = num_x / jnp.maximum(den, 1e-12)
+    by = iy.astype(jnp.float32) + 0.5 + off_y
+    bx = ix.astype(jnp.float32) + 0.5 + off_x
     x1, y1, x2, y2 = (boxes[..., i] for i in range(4))
     w = jnp.maximum(x2 - x1, 1e-3)[..., None]
     h = jnp.maximum(y2 - y1, 1e-3)[..., None]
