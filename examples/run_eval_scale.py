@@ -1,0 +1,101 @@
+"""Detection eval post-processing at scale (VERDICT round-2 weak #7).
+
+Measures ``DetectionTrainer.evaluate`` wall-clock on a 1024-image synthetic
+val set with the instance-mask head on: every image's predicted masks are
+un-letterboxed to original resolution and RLE-encoded — the host-side work
+that the round-3 thread-pool + vectorized un-letterbox rewrite targets
+(``detection/engine.py:evaluate`` / ``_unletterbox_masks``).  Records
+bbox-only and bbox+segm wall-clock and images/sec into
+``examples/eval_scale_tpu.json``.
+
+The model is an untrained DETRSegm (prediction *quality* is irrelevant to
+post-processing cost; with score_threshold=0 every query's mask is encoded
+— the worst case).  Reference surface: ``object/engine.py:70-110``
+evaluate + ``object_detr/models/segmentation.py`` PostProcessSegm.
+
+Usage:  python examples/run_eval_scale.py [--device cpu] [--images 1024]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
+    p.add_argument("--images", default=1024, type=int)
+    p.add_argument("--size", default=192, type=int)
+    p.add_argument("--bs", default=32, type=int)
+    p.add_argument("--queries", default=50, type=int)
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "eval_scale_tpu.json"))
+    args = p.parse_args()
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from vit_torch_tpu.detection.coco_data import (
+        CocoDetectionDataset, CocoLoader, make_synthetic_coco)
+    from vit_torch_tpu.detection.detr import DETRConfig
+    from vit_torch_tpu.detection.engine import DetectionTrainer
+    from vit_torch_tpu.detection.segmentation import DETRSegm
+    from vit_torch_tpu.models.swin import SWIN_CONFIGS, SwinTransformer
+
+    tmp = tempfile.mkdtemp(prefix="evalscale_")
+    va_img, va_ann = make_synthetic_coco(os.path.join(tmp, "val"),
+                                         n_images=args.images,
+                                         size=args.size, seed=7)
+    val_ds = CocoDetectionDataset(va_img, va_ann, image_size=args.size,
+                                  max_boxes=8)
+    val_loader = CocoLoader(val_ds, args.bs)
+
+    cfg = DETRConfig(num_classes=val_ds.num_classes,
+                     num_queries=args.queries, hidden_dim=64,
+                     enc_layers=1, dec_layers=1)
+    backbone = SwinTransformer(SWIN_CONFIGS["swin_test3"],
+                               dtype=jnp.float32, multi_features=True,
+                               name="backbone")
+    model = DETRSegm(cfg, backbone, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, args.size, args.size, 3)),
+                        True)["params"]
+    trainer = DetectionTrainer(model, params, image_size=args.size,
+                               num_classes=val_ds.num_classes,
+                               masks=True)
+
+    record = {"info": {"images": args.images, "size": args.size,
+                       "bs": args.bs, "queries": args.queries,
+                       "device": jax.devices()[0].platform},
+              "runs": {}}
+    for iou_types in (("bbox",), ("bbox", "segm")):
+        name = "+".join(iou_types)
+        # warm the predict compile outside the timed region
+        t0 = time.time()
+        m = trainer.evaluate(val_loader, val_ds.coco, iou_types=iou_types,
+                             label_to_cat=val_ds.label_to_cat)
+        warm = time.time() - t0
+        t0 = time.time()
+        trainer.evaluate(val_loader, val_ds.coco, iou_types=iou_types,
+                         label_to_cat=val_ds.label_to_cat)
+        hot = time.time() - t0
+        record["runs"][name] = {
+            "wall_s_cold": round(warm, 2), "wall_s_hot": round(hot, 2),
+            "img_per_s_hot": round(args.images / hot, 1),
+            "metrics": {k: round(v["ap"], 4) for k, v in m.items()},
+        }
+        print(f"{name}: cold {warm:.1f}s hot {hot:.1f}s "
+              f"({args.images / hot:.1f} img/s)")
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=1)
+    print("saved", args.out)
+
+
+if __name__ == "__main__":
+    main()

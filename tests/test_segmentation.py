@@ -91,6 +91,18 @@ def test_postprocess_segm():
     assert bool(out[0, 0, 0, 0]) and not bool(out[0, 1, 8, 8])
 
 
+def test_pack_mask_bits_roundtrip():
+    """Device bit-packing inverts exactly through np.unpackbits (the host
+    side of the packed-mask D2H path in evaluate)."""
+    from vit_torch_tpu.detection.segmentation import pack_mask_bits
+    rng = np.random.default_rng(0)
+    masks = rng.integers(0, 2, (2, 3, 8, 16)).astype(bool)
+    packed = np.asarray(pack_mask_bits(jnp.asarray(masks)))
+    assert packed.shape == (2, 3, 8, 2) and packed.dtype == np.uint8
+    np.testing.assert_array_equal(np.unpackbits(packed, axis=-1),
+                                  masks.astype(np.uint8))
+
+
 def test_dataset_loads_masks(tmp_path):
     from vit_torch_tpu.detection.coco_data import (
         CocoDetectionDataset, make_synthetic_coco)

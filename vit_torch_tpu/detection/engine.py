@@ -351,11 +351,13 @@ class DetectionTrainer:
                                 jnp.asarray(batch["pad"]))
             if masks_on and "pred_masks" in outputs:
                 from vit_torch_tpu.detection.segmentation import (
-                    postprocess_segm)
-                # (B, Q, S, S) bool at letterbox resolution; un-letterboxing
-                # to original size happens on host in evaluate()
-                preds["masks"] = postprocess_segm(outputs["pred_masks"],
-                                                  image_size)
+                    pack_mask_bits, postprocess_segm)
+                # (B, Q, S, S) bool at letterbox resolution, bit-packed to
+                # (B, Q, S, S/8) uint8 for the D2H (the transfer dominates
+                # eval wall-clock on tunneled devices — PERF.md ledger);
+                # un-letterboxing to original size happens on host
+                preds["masks_packed"] = pack_mask_bits(
+                    postprocess_segm(outputs["pred_masks"], image_size))
             return preds
 
         self._forward_costs = forward_costs
@@ -530,9 +532,15 @@ class DetectionTrainer:
             }
             if "keypoints" in preds:
                 update["keypoints"] = preds["keypoints"][b][keep]
-            if want_masks and "masks" in preds:
+            masks = None
+            if want_masks and "masks_packed" in preds:
+                masks = np.unpackbits(
+                    np.asarray(preds["masks_packed"][b][keep]), axis=-1)
+            elif want_masks and "masks" in preds:
+                masks = preds["masks"][b][keep]
+            if masks is not None:
                 update["masks"] = _unletterbox_masks(
-                    preds["masks"][b][keep], batch["scale"][b],
+                    masks, batch["scale"][b],
                     batch["pad"][b], batch["orig_size"][b])
             img_id = int(batch["image_id"][b])
             pq_args = (_pq_prepare(coco_gt, img_id, update)
