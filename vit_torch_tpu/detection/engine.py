@@ -549,10 +549,9 @@ class DetectionTrainer:
 
         mesh = getattr(self, "mesh", None)
         with ThreadPoolExecutor(max_workers=8) as pool:
-            for batch in loader:
-                dev_batch = (_shard_batch(batch, mesh)
-                             if mesh is not None else batch)
-                preds = jax.device_get(self._predict(self.params, dev_batch))
+
+            def _drain(batch, preds_dev):
+                preds = jax.device_get(preds_dev)
                 todo = [(preds, batch, b)
                         for b in range(len(batch["image_id"]))
                         if batch["mask"][b] != 0]
@@ -562,6 +561,25 @@ class DetectionTrainer:
                     if pq_args is not None:
                         pq.update(*pq_args)
                     evaluator.update({img_id: update})
+
+            # one-deep pipeline: enqueue batch i+1's predict (async JAX
+            # dispatch) and start its D2H (copy_to_host_async) BEFORE the
+            # blocking device_get + host post-processing of batch i, so both
+            # the device compute AND the prediction transfer run ahead of the
+            # host instead of idling through the RLE/COCO work (PERF.md
+            # eval-at-scale ledger)
+            pending = None
+            for batch in loader:
+                dev_batch = (_shard_batch(batch, mesh)
+                             if mesh is not None else batch)
+                preds_dev = self._predict(self.params, dev_batch)
+                jax.tree_util.tree_map(
+                    lambda a: a.copy_to_host_async(), preds_dev)
+                if pending is not None:
+                    _drain(*pending)
+                pending = (batch, preds_dev)
+            if pending is not None:
+                _drain(*pending)
         evaluator.synchronize_between_processes()
         evaluator.accumulate()
         out = evaluator.summarize()
