@@ -107,8 +107,14 @@ def pick_config(nW_img: int, Bn: int, N: int, C: int, H: int,
                 has_mask: bool):
     """(wb, groups) for these shapes: groups > 1 = head-split mode (each
     pallas call covers H/groups heads with sliced weights — stage-4
-    C >= 1024 exceeds VMEM with the full weight set).  (0, 0) = no fit."""
-    for groups in (1, 2, 4, 8):
+    C >= 1024 exceeds VMEM with the full weight set).  (0, 0) = no fit.
+
+    groups is capped at 2: on-chip at swin_large stage 4 (Bn=32, C=1536,
+    H=48, mask-less) the head-split kernel measured 0.97 ms at groups=4
+    and 0.90 ms at a forced groups=3 vs 0.67 ms for the attention-only
+    fallback (scan-amortized) — the extra sub-call serialization loses
+    more than the fusion saves, so C=1536 keeps the fallback."""
+    for groups in (1, 2):
         if H % groups:
             continue
         ca = C // groups
