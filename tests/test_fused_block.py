@@ -106,12 +106,11 @@ def test_window_block_fits_gates():
     assert fits(32, 144, 1024, 32, 1)            # stage 4: head-split
     assert pick_config(1, 32, 144, 1024, 32, True)[1] == 2
     # swin_large stage 4 (C=1536): masked, the x block exceeds the
-    # activation budget; mask-less it would need head-split groups > 2,
-    # which measured slower than the attention-only fallback on-chip
-    # (0.97/0.90 ms vs 0.67 ms) — both stay on the fallback
+    # activation budget; mask-less it fits via head-split groups=4
+    # (e2e-faster than the attention-only fallback — see pick_config)
     assert not fits(32, 144, 1536, 48, 1)
-    assert not fits(32, 144, 1536, 48, None)
-    assert not fits(32, 64, 1536, 48, None)
+    assert fits(32, 144, 1536, 48, None)
+    assert pick_config(1, 32, 64, 1536, 48, False)[1] == 4
 
 
 @pytest.mark.parametrize("masked,C", [(True, 128), (False, 128),

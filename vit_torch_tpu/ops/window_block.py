@@ -109,12 +109,13 @@ def pick_config(nW_img: int, Bn: int, N: int, C: int, H: int,
     pallas call covers H/groups heads with sliced weights — stage-4
     C >= 1024 exceeds VMEM with the full weight set).  (0, 0) = no fit.
 
-    groups is capped at 2: on-chip at swin_large stage 4 (Bn=32, C=1536,
-    H=48, mask-less) the head-split kernel measured 0.97 ms at groups=4
-    and 0.90 ms at a forced groups=3 vs 0.67 ms for the attention-only
-    fallback (scan-amortized) — the extra sub-call serialization loses
-    more than the fusion saves, so C=1536 keeps the fallback."""
-    for groups in (1, 2):
+    swin_large stage 4 (C=1536, H=48, mask-less) lands on groups=4.  In a
+    scan-amortized *isolated* harness that config measures slower than the
+    attention-only fallback (0.97 vs 0.67 ms/block), but end-to-end
+    swin_large_224 lineareval it is consistently ~1.4% *faster* (845.5 vs
+    833.9 img/s, 3 reps each) — e2e governs kernel dispatch decisions here
+    (see PERF.md; isolated per-op timings mislead on this chip)."""
+    for groups in (1, 2, 4, 8):
         if H % groups:
             continue
         ca = C // groups
