@@ -124,8 +124,9 @@ def bench_detr(size: int = 512, bs: int = 8, steps: int = 20) -> dict:
     def step():
         nonlocal rng
         rng, sr = jax.random.split(rng)
-        costs = np.asarray(trainer._forward_costs(trainer.params, batch, sr))
-        assign = np.stack([hungarian_match(costs[li], host_mask)
+        costs, aug_bm = jax.device_get(
+            trainer._forward_costs(trainer.params, batch, sr))
+        assign = np.stack([hungarian_match(costs[li], aug_bm)
                            for li in range(costs.shape[0])])
         trainer.params, trainer.opt_state, logs = trainer._train_step(
             trainer.params, trainer.opt_state, batch, jnp.asarray(assign),

@@ -42,6 +42,12 @@ ZOO_CONFIGS = [
      "baseline_img_s": 356.0},        # BASELINE.md swin_tiny row
     {"name": "resnext50_32x4d finetune 224px bs32", "arch": "resnext50_32x4d",
      "image_size": 224, "bs": 32, "lineareval": False, "baseline_img_s": None},
+    # largest swin config: stage 4 (C=1536) runs the fused window block in
+    # head-split groups=4 mode (e2e-verified faster than the attention-only
+    # fallback — PERF.md lever #1)
+    {"name": "swin_large lineareval 224px bs32",
+     "arch": "swin_large_patch4_window7_224",
+     "image_size": 224, "bs": 32, "lineareval": True, "baseline_img_s": None},
     # long-sequence config: N=2305 tokens — exercises the 512-token-blocked
     # flash path (reference throughput at this size was never logged)
     {"name": "dino_vitb8 lineareval 384px bs8", "arch": "dino_vitb8",

@@ -55,8 +55,8 @@ def main() -> None:
     curve = []
     for step in range(300):
         tr.rng, sr = jax.random.split(tr.rng)
-        costs = np.asarray(tr._forward_costs(tr.params, batch, sr))
-        assign = np.stack([hungarian_match(costs[li], batch["box_mask"])
+        costs, aug_bm = jax.device_get(tr._forward_costs(tr.params, batch, sr))
+        assign = np.stack([hungarian_match(costs[li], aug_bm)
                            for li in range(costs.shape[0])])
         tr.params, tr.opt_state, logs = tr._train_step(
             tr.params, tr.opt_state, batch, jnp.asarray(assign), sr)

@@ -171,6 +171,19 @@ def test_hungarian_match_prefers_low_cost():
     assert assign[0, 0] == 0 and assign[0, 1] == 1 and assign[0, 2] == -1
 
 
+def test_hungarian_match_non_prefix_mask():
+    """Crop augmentation zeroes mask slots at arbitrary positions — the
+    matcher must skip invalidated columns, not prefix-slice past them."""
+    from vit_torch_tpu.detection.matcher import hungarian_match
+    cost = np.asarray([[[0.1, 5.0, 4.0], [5.0, 0.2, 0.3], [9.0, 9.0, 0.1]]],
+                      np.float32)                        # (1, 3Q, 3N)
+    box_mask = np.asarray([[1.0, 0.0, 1.0]])             # slot 1 cropped out
+    assign = hungarian_match(cost, box_mask)
+    assert assign[0, 0] == 0 and assign[0, 2] == 2       # valid slots matched
+    assert 1 not in assign[0]                            # cropped slot never
+    assert assign[0, 1] == -1
+
+
 def test_cost_matrices_poison_padding():
     from vit_torch_tpu.detection.matcher import cost_matrices
     logits = jnp.zeros((1, 4, 3))
@@ -233,8 +246,8 @@ def test_detection_train_step_with_drop_path():
         "mask": np.ones((2,), np.float32),
     }
     rng = jax.random.PRNGKey(1)
-    costs = np.asarray(tr._forward_costs(tr.params, batch, rng))
-    assign = np.stack([hungarian_match(costs[li], batch["box_mask"])
+    costs, aug_bm = jax.device_get(tr._forward_costs(tr.params, batch, rng))
+    assign = np.stack([hungarian_match(costs[li], aug_bm)
                        for li in range(costs.shape[0])])
     _, _, logs = tr._train_step(tr.params, tr.opt_state, batch,
                                 jnp.asarray(assign), rng)

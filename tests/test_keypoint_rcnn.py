@@ -183,6 +183,28 @@ def test_coco_kp_flip_inds():
     assert [inds[i] for i in inds] == list(range(17))
 
 
+def test_kp_flip_inds_from_names():
+    from vit_torch_tpu.detection.keypoint import (COCO_KP_FLIP_INDS,
+                                                  kp_flip_inds_from_names)
+    coco = ["nose", "left_eye", "right_eye", "left_ear", "right_ear",
+            "left_shoulder", "right_shoulder", "left_elbow", "right_elbow",
+            "left_wrist", "right_wrist", "left_hip", "right_hip",
+            "left_knee", "right_knee", "left_ankle", "right_ankle"]
+    assert kp_flip_inds_from_names(coco) == COCO_KP_FLIP_INDS
+    # short corner names (synthetic 5-point schema): last-char swap
+    assert kp_flip_inds_from_names(["tl", "tr", "center", "bl", "br"]) \
+        == (1, 0, 2, 4, 3)
+    # '_l'/'_r' suffix tokens whose base word also contains an 'l' — the
+    # old substring replace mangled 'ankle_l' into 'ankre_r' and produced
+    # the non-involutive (0, 0)
+    assert kp_flip_inds_from_names(["ankle_l", "ankle_r"]) == (1, 0)
+    assert kp_flip_inds_from_names(["elbow_l", "elbow_r", "spine"]) \
+        == (1, 0, 2)
+    assert kp_flip_inds_from_names(["lshoulder", "rshoulder"]) == (1, 0)
+    # no mirror pairs → identity; result always an involution
+    assert kp_flip_inds_from_names(["a", "b", "c"]) == (0, 1, 2)
+
+
 def test_synthetic_keypoint_dataset(tmp_path):
     from vit_torch_tpu.detection.coco_data import (
         CocoDetectionDataset, make_synthetic_coco)

@@ -101,6 +101,13 @@ def test_pack_mask_bits_roundtrip():
     assert packed.shape == (2, 3, 8, 2) and packed.dtype == np.uint8
     np.testing.assert_array_equal(np.unpackbits(packed, axis=-1),
                                   masks.astype(np.uint8))
+    # non-multiple-of-8 width: zero-padded to the byte boundary, the
+    # unpacker slices back (a free-integer --image_size must not crash)
+    odd = rng.integers(0, 2, (2, 10, 10)).astype(bool)
+    packed = np.asarray(pack_mask_bits(jnp.asarray(odd)))
+    assert packed.shape == (2, 10, 2)
+    np.testing.assert_array_equal(
+        np.unpackbits(packed, axis=-1)[..., :10], odd.astype(np.uint8))
 
 
 def test_dataset_loads_masks(tmp_path):

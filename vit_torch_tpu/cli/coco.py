@@ -233,8 +233,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
             raise SystemExit("detection supports data-parallel meshes only "
                              "(e.g. --mesh data=8)")
         if args.bs % mesh.shape["data"]:
-            raise SystemExit(f"--bs {args.bs} must divide the data axis "
-                             f"({mesh.shape['data']})")
+            raise SystemExit(f"--bs {args.bs} must be a multiple of the "
+                             f"data axis size ({mesh.shape['data']})")
         print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_torch_tpu.detection.boxes import cxcywh_to_xyxy, generalized_box_iou
-from vit_torch_tpu.models.layers import Dtype, LayerNorm, trunc_normal_init
+from vit_torch_tpu.models.layers import Dtype, LayerNorm
 from vit_torch_tpu.ops.attention import dot_product_attention
 
 

@@ -204,10 +204,13 @@ class DetectionTrainer:
             box_mask = jnp.asarray(batch["box_mask"])
             masks = (jnp.asarray(batch["gt_masks"])
                      if with_masks and "gt_masks" in batch else None)
-            if augment:
+            # crop/erase are independent of hflip: --aug_crop/--aug_erase
+            # still apply under --no_hflip (augment=False)
+            if augment or aug_crop or aug_erase:
                 r_flip, r_crop, r_erase = jax.random.split(rng, 3)
-                images, boxes, masks = random_hflip(r_flip, images, boxes,
-                                                    image_size, masks)
+                if augment:
+                    images, boxes, masks = random_hflip(
+                        r_flip, images, boxes, image_size, masks)
                 if aug_crop:
                     images, boxes, box_mask, masks = random_zoom_crop(
                         r_crop, images, boxes, box_mask, image_size, masks)
@@ -231,7 +234,10 @@ class DetectionTrainer:
                               targets["labels"], targets["boxes_cxcywh"],
                               targets["box_mask"])
                 for o in layers])                      # (L, B, Q, N)
-            return costs
+            # the augmented mask rides along: crops can invalidate gts, and
+            # the host Hungarian must see the same mask the losses use (the
+            # fused path already does — in-program bm)
+            return costs, targets["box_mask"]
 
         @jax.jit
         def train_step(params, opt_state, batch, assign, rng):
@@ -395,10 +401,10 @@ class DetectionTrainer:
                 self.params, self.opt_state, logs = self._train_step_fused(
                     self.params, self.opt_state, dev_batch, step_rng)
             else:
-                costs = np.asarray(self._forward_costs(self.params, dev_batch,
-                                                       step_rng))
+                costs, aug_bm = jax.device_get(self._forward_costs(
+                    self.params, dev_batch, step_rng))
                 assign = np.stack([
-                    hungarian_match(costs[li], batch["box_mask"])
+                    hungarian_match(costs[li], aug_bm)
                     for li in range(costs.shape[0])])
                 assign = jnp.asarray(assign)
                 if self.mesh is not None:
@@ -534,8 +540,10 @@ class DetectionTrainer:
                 update["keypoints"] = preds["keypoints"][b][keep]
             masks = None
             if want_masks and "masks_packed" in preds:
+                # packed width is byte-padded; slice back to image_size
                 masks = np.unpackbits(
-                    np.asarray(preds["masks_packed"][b][keep]), axis=-1)
+                    np.asarray(preds["masks_packed"][b][keep]),
+                    axis=-1)[..., :self.image_size]
             elif want_masks and "masks" in preds:
                 masks = preds["masks"][b][keep]
             if masks is not None:

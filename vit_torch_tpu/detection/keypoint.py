@@ -45,24 +45,42 @@ COCO_KP_FLIP_INDS = (0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13,
 def kp_flip_inds_from_names(names) -> Tuple[int, ...]:
     """Derive the horizontal-flip index swap from keypoint names.
 
-    Each name maps to its left/right mirror when one exists in the schema
-    (``left``↔``right`` substrings first, then a bare ``l``↔``r`` swap for
-    short names like ``tl``/``tr``), else to itself.  On COCO-17 this
-    reproduces :data:`COCO_KP_FLIP_INDS`; on a schema with no mirror pairs
-    it is the identity (flip-safe)."""
+    Each name maps to its left/right mirror when one exists in the schema,
+    else to itself.  Mirrors are found on *token* boundaries (``left``/
+    ``right`` or bare ``l``/``r`` tokens split on ``_-. `` — so
+    ``ankle_l``↔``ankle_r`` works without mangling the ``l`` inside
+    ``ankle``), then by a first/last-character ``l``↔``r`` swap for short
+    names like ``tl``/``tr`` or ``lshoulder``.  On COCO-17 this reproduces
+    :data:`COCO_KP_FLIP_INDS`; on a schema with no mirror pairs it is the
+    identity (flip-safe).  The result is checked to be an involution —
+    any asymmetric candidate pair degrades to identity rather than
+    silently corrupting flip supervision."""
+    import re
     names = list(names)
     idx = {n: i for i, n in enumerate(names)}
+    swap = {"left": "right", "right": "left", "l": "r", "r": "l"}
 
     def mirror(n):
-        for a, b in (("left", "right"), ("right", "left"),
-                     ("l", "r"), ("r", "l")):
-            if a in n:
-                cand = n.replace(a, b)
+        toks = re.split(r"([_\-. ])", n)       # keep delimiters
+        for i, t in enumerate(toks):
+            if t.lower() in swap:
+                cand = "".join(toks[:i] + [swap[t.lower()]] + toks[i + 1:])
+                if cand in idx:
+                    return cand
+        for pos in (-1, 0):                    # tl/tr, lshoulder/rshoulder
+            c = n[pos].lower()
+            if c in ("l", "r"):
+                sub = swap[c]
+                cand = n[:-1] + sub if pos == -1 else sub + n[1:]
                 if cand != n and cand in idx:
                     return cand
         return n
 
-    return tuple(idx[mirror(n)] for n in names)
+    out = [idx[mirror(n)] for n in names]
+    for i, j in enumerate(out):                # involution safety net
+        if out[j] != i:
+            out[i] = i
+    return tuple(out)
 
 
 class KeypointHead(nn.Module):

@@ -148,9 +148,11 @@ def hungarian_match(cost: np.ndarray, box_mask: np.ndarray,
     B, Q, N = cost.shape
     assign = np.full((B, Q), -1, np.int32)
     for b in range(B):
-        n_gt = int(box_mask[b].sum())
-        if n_gt == 0:
+        # gather valid gt columns by index — crop augmentation can zero
+        # mask slots at arbitrary (non-prefix) positions
+        valid = np.flatnonzero(box_mask[b] > 0)
+        if valid.size == 0:
             continue
-        rows, cols = _lsa(cost[b, :, :n_gt])
-        assign[b, rows] = cols
+        rows, cols = _lsa(cost[b][:, valid])
+        assign[b, rows] = valid[cols].astype(np.int32)
     return assign

@@ -31,7 +31,7 @@ from vit_torch_tpu.detection.detr import (
     BoxMLP, DecoderLayer, DETRConfig, EncoderLayer, make_position_embedding,
     sine_position_embedding,
 )
-from vit_torch_tpu.models.layers import Dtype, LayerNorm, trunc_normal_init
+from vit_torch_tpu.models.layers import Dtype, LayerNorm
 
 
 class MHAttentionMap(nn.Module):
@@ -246,8 +246,13 @@ def pack_mask_bits(masks: jnp.ndarray) -> jnp.ndarray:
     cost on tunneled devices (measured 3.6 s per bs32 batch of raw bool
     masks at 192px/50 queries vs 0.53 s packed — see PERF.md eval-at-scale
     ledger); packing on device cuts the transfer bytes 8×.
-    Requires W % 8 == 0 (letterbox sizes are)."""
+    Non-multiple-of-8 W is zero-padded to the next byte boundary — the
+    unpacker must slice ``[..., :W]`` after ``np.unpackbits``."""
     W = masks.shape[-1]
+    if W % 8:
+        pad = [(0, 0)] * (masks.ndim - 1) + [(0, 8 - W % 8)]
+        masks = jnp.pad(masks.astype(jnp.uint8), pad)
+        W = masks.shape[-1]
     m8 = masks.reshape(masks.shape[:-1] + (W // 8, 8)).astype(jnp.uint8)
     acc = jnp.zeros(m8.shape[:-1], jnp.uint8)
     for i in range(8):

@@ -40,7 +40,12 @@ def fits(N: int, num_heads: int, head_dim: int) -> bool:
     Estimates peak residency at the kernel's PADDED shapes (the wrapper
     pads N to a 16 multiple; Mosaic pads lanes to 128): the ``s`` and
     ``probs`` lists (H fp32 tiles each) are live simultaneously with the
-    per-g mix accumulators, plus double-buffered q/k/v/o IO blocks."""
+    per-g mix accumulators, plus double-buffered q/k/v/o IO blocks.
+
+    This bound admits some shapes the pre-round-3 4-stack estimate
+    rejected; the frontier was validated empirically on v5e — near-budget
+    shapes (N=256 H=8 D=48 at 10.5 of 11 MB, N=240 H=8 D=64) compile and
+    match the XLA reference on-chip, no Mosaic scoped-VMEM overflow."""
     rows = _round_up(N, 16)
     cols = _round_up(N, _LANE)
     dp = _round_up(head_dim, _LANE)
