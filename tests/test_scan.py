@@ -96,6 +96,22 @@ def test_trainer_fit_scan_end_to_end(tmp_path):
     assert rows[0]["sample"] == 64
 
 
+def test_fit_scan_debug_eval_dump(capsys, monkeypatch):
+    """VITX_DEBUG_EVAL=1 also dumps in epoch-scan mode (preds ride the
+    scan as a second output)."""
+    monkeypatch.setenv("VITX_DEBUG_EVAL", "1")
+    data = Datasets("synthetic", bs=16, synthetic_size=32, image_size=16)
+    zm = VisionModelZoo.get_model("vit_tiny_test", classifier=[10],
+                                  image_size=16, dtype=jnp.float32)
+    trainer = Trainer(zm, epochs=1, lr=0.05, opt="sgd", lr_scheduler="none",
+                      earlystop_epoch=0, image_size=16, print_progress=False,
+                      eval_transform=make_eval_transform(**data.norm_values))
+    trainer.fit_scan({"train": data.sets["train"],
+                      "val": data.sets["test"]}, batch_size=16)
+    out = capsys.readouterr().out
+    assert "got outputs shape" in out and "output:" in out
+
+
 def test_trainer_fit_lineareval_cached(tmp_path):
     data = Datasets("synthetic", bs=16, synthetic_size=64, image_size=16)
     zm = VisionModelZoo.get_model("vit_tiny_test", classifier=[32, 10],

@@ -177,6 +177,28 @@ def test_trainer_fit_synthetic(tmp_path):
     assert 0.0 <= d["results"]["val.acc"] <= 1.0
 
 
+def test_debug_eval_dump(tmp_path, capsys, monkeypatch):
+    """VITX_DEBUG_EVAL=1 reproduces the reference's DEBUG eval dump
+    (utils_network.py:500-514): output/label windows + recomputed acc."""
+    from vit_torch_tpu.data.datasets import Datasets
+    from vit_torch_tpu.data.augment import make_eval_transform
+
+    monkeypatch.setenv("VITX_DEBUG_EVAL", "1")
+    data = Datasets("synthetic", bs=16, synthetic_size=32, image_size=16)
+    zm = VisionModelZoo.get_model("vit_tiny_test", classifier=[10],
+                                  image_size=16, dtype=jnp.float32)
+    stats = Stats(splits=("train", "val"), stats_fp=None,
+                  epoch_total=1, sample_totals={"train": 32, "val": 32})
+    trainer = Trainer(zm, epochs=1, lr=0.05, opt="sgd", lr_scheduler="none",
+                      earlystop_epoch=0, stats=stats, image_size=16,
+                      print_progress=False,
+                      eval_transform=make_eval_transform(**data.norm_values))
+    trainer.run_one_epoch(data.loaders["val"], training=False)
+    out = capsys.readouterr().out
+    assert "got outputs shape" in out
+    assert "acc: " in out and "output:" in out and "label: " in out
+
+
 def test_early_stop_rule():
     """Reference rule (utils_network.py:322-328): stop when best val acc is
     not within the last N epochs; the flag is honored (reference bug fixed)."""

@@ -97,7 +97,10 @@ def make_scan_train_fn(apply_fn: Callable, tx: optax.GradientTransformation,
 
 
 def make_scan_eval_fn(apply_fn: Callable,
-                      eval_transform: Optional[Callable] = None) -> Callable:
+                      eval_transform: Optional[Callable] = None,
+                      with_preds: bool = False) -> Callable:
+    """``with_preds`` additionally returns the (steps, B) argmax
+    predictions from the scan (the debug-eval dump path)."""
     @jax.jit
     def run(state: TrainState, images, labels, idx, msk):
         def one_step(_, step_input):
@@ -107,9 +110,15 @@ def make_scan_eval_fn(apply_fn: Callable,
                 x = eval_transform(x)
             logits = apply_fn(state.variables(), x, True)
             loss = cross_entropy_loss(logits, labels[batch_idx], batch_msk)
-            return None, _metrics(logits, labels[batch_idx], batch_msk, loss)
+            out = _metrics(logits, labels[batch_idx], batch_msk, loss)
+            if with_preds:
+                return None, (out, jnp.argmax(logits, axis=-1))
+            return None, out
 
         _, metrics = jax.lax.scan(one_step, None, (idx, msk))
+        if with_preds:
+            m, preds = metrics
+            return jax.tree.map(jnp.sum, m), preds
         return jax.tree.map(jnp.sum, metrics)
 
     return run

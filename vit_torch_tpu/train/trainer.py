@@ -16,6 +16,7 @@ metrics accumulate on device, the host syncs once per logging window.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict, Iterable, Optional
 
@@ -40,6 +41,18 @@ def should_early_stop(val_accs, window: int) -> bool:
     if window <= 0 or len(val_accs) < window:
         return False
     return max(val_accs[-window:]) < max(val_accs)
+
+
+def _print_debug_eval(outputs: np.ndarray, labels: np.ndarray) -> None:
+    """The reference's DEBUG eval dump (``utils_network.py:500-514``):
+    shapes, host-recomputed accuracy, and a 20-wide pred-vs-true window."""
+    print()
+    print(f"got outputs shape {outputs.shape} and labels shape "
+          f"{labels.shape}")
+    print("acc: ", float(np.mean((outputs == labels).astype(np.int32))))
+    print("examples:")
+    print("output:", outputs[:20])
+    print("label: ", labels[:20])
 
 
 class Trainer:
@@ -135,19 +148,35 @@ class Trainer:
         lr = float(jax.device_get(
             self.state.opt_state.hyperparams["learning_rate"]))
         n_batches = len(loader) if hasattr(loader, "__len__") else None
+        # VITX_DEBUG_EVAL=1: the reference's DEBUG eval path (dump
+        # predicted-vs-true label windows + host-recomputed accuracy,
+        # utils_network.py:500-514) — env-gated like its hardcoded flag
+        debug_eval = (not training
+                      and os.environ.get("VITX_DEBUG_EVAL") == "1")
+        dbg_out: list = []
+        dbg_lab: list = []
         for i, batch in enumerate(loader):
             # count real samples from the mask (host-produced and tiny, so
             # np.asarray is cheap even for device arrays)
             valid = int(np.asarray(batch["mask"]).sum())
+            host_mask = np.asarray(batch["mask"]).astype(bool)
+            host_label = np.asarray(batch["label"])
             batch = self._shard_batch(batch)
             if training:
                 self.state, m = self.train_step(self.state, batch)
             else:
                 m = self.eval_step(self.state, batch)
+            if debug_eval:
+                preds = np.asarray(self._predict_labels(batch))
+                dbg_out.append(preds[host_mask])
+                dbg_lab.append(host_label[host_mask])
             acc = accumulate_metrics(acc, m)
             S.update(sample_count=valid, lr=lr)
             if self.print_progress:
                 S.print()
+        if debug_eval and dbg_out:
+            _print_debug_eval(np.concatenate(dbg_out),
+                              np.concatenate(dbg_lab))
         final = finalize_metrics(acc)
         # overwrite the streaming counters with exact device-side metrics
         S.S.metrics["acc"].reset_round()
@@ -160,6 +189,23 @@ class Trainer:
             from vit_torch_tpu.parallel.api import shard_batch
             return shard_batch(batch, self.mesh)
         return batch
+
+    def _predict_labels(self, batch):
+        """Argmax class predictions for the debug-eval dump (jitted once)."""
+        if not hasattr(self, "_debug_predict_fn"):
+            apply_fn = self.zoo_model.model.apply
+            transform = self.eval_transform
+
+            @jax.jit
+            def predict(state, batch):
+                images = batch["image"]
+                if transform is not None:
+                    images = transform(images)
+                logits = apply_fn(state.variables(), images, True)
+                return jnp.argmax(logits, axis=-1)
+
+            self._debug_predict_fn = predict
+        return self._debug_predict_fn(self.state, batch)
 
     # ------------------------------------------------------------------
     def fit(self, loaders: Dict[str, Any]) -> Stats:
@@ -211,7 +257,9 @@ class Trainer:
         apply_fn = self.zoo_model.model.apply
         train_run = make_scan_train_fn(apply_fn, self.tx, self.augment_fn,
                                        mesh=self.mesh)
-        eval_run = make_scan_eval_fn(apply_fn, self.eval_transform)
+        eval_run = make_scan_eval_fn(
+            apply_fn, self.eval_transform,
+            with_preds=os.environ.get("VITX_DEBUG_EVAL") == "1")
         device_sets = {
             split: (jnp.asarray(imgs), jnp.asarray(labels))
             for split, (imgs, labels) in sets.items()}
@@ -255,7 +303,9 @@ class Trainer:
             jax.random.fold_in(outer_state.rng, 1),
             {"head": outer_state.params["head"]}, self.tx, lineareval=False)
         train_run = make_scan_train_fn(head_apply, self.tx, None)
-        eval_run = make_scan_eval_fn(head_apply, None)
+        eval_run = make_scan_eval_fn(
+            head_apply, None,
+            with_preds=os.environ.get("VITX_DEBUG_EVAL") == "1")
         try:
             stats = self._scan_epoch_loop(train_run, eval_run, device_sets,
                                           batch_size)
@@ -289,6 +339,12 @@ class Trainer:
                                               idx, msk)
                 else:
                     m = eval_run(self.state, images, labels, idx, msk)
+                    if isinstance(m, tuple):       # VITX_DEBUG_EVAL preds
+                        m, preds = m
+                        valid = np.asarray(msk).astype(bool)
+                        _print_debug_eval(
+                            np.asarray(preds)[valid],
+                            np.asarray(labels)[np.asarray(idx)][valid])
                 final = finalize_metrics(m)
                 S.update(sample_count=int(final["count"]), lr=lr,
                          acc=final["acc"], loss=final["loss"])
