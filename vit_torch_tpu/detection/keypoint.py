@@ -28,6 +28,7 @@ the bin-center mapping is the static equivalent, accurate to half a bin).
 
 from __future__ import annotations
 
+import re
 from typing import Tuple
 
 import jax
@@ -55,7 +56,6 @@ def kp_flip_inds_from_names(names) -> Tuple[int, ...]:
     identity (flip-safe).  The result is checked to be an involution —
     any asymmetric candidate pair degrades to identity rather than
     silently corrupting flip supervision."""
-    import re
     names = list(names)
     idx = {n: i for i, n in enumerate(names)}
     swap = {"left": "right", "right": "left", "l": "r", "r": "l"}

@@ -43,6 +43,12 @@ def should_early_stop(val_accs, window: int) -> bool:
     return max(val_accs[-window:]) < max(val_accs)
 
 
+def _debug_eval_on() -> bool:
+    """True when the VITX_DEBUG_EVAL=1 dump is requested (read per epoch
+    so tests can toggle it without rebuilding the trainer)."""
+    return os.environ.get("VITX_DEBUG_EVAL") == "1"
+
+
 def _print_debug_eval(outputs: np.ndarray, labels: np.ndarray) -> None:
     """The reference's DEBUG eval dump (``utils_network.py:500-514``):
     shapes, host-recomputed accuracy, and a 20-wide pred-vs-true window."""
@@ -151,25 +157,26 @@ class Trainer:
         # VITX_DEBUG_EVAL=1: the reference's DEBUG eval path (dump
         # predicted-vs-true label windows + host-recomputed accuracy,
         # utils_network.py:500-514) — env-gated like its hardcoded flag
-        debug_eval = (not training
-                      and os.environ.get("VITX_DEBUG_EVAL") == "1")
+        debug_eval = not training and _debug_eval_on()
         dbg_out: list = []
         dbg_lab: list = []
         for i, batch in enumerate(loader):
             # count real samples from the mask (host-produced and tiny, so
             # np.asarray is cheap even for device arrays)
-            valid = int(np.asarray(batch["mask"]).sum())
-            host_mask = np.asarray(batch["mask"]).astype(bool)
-            host_label = np.asarray(batch["label"])
+            host_mask = np.asarray(batch["mask"])
+            valid = int(host_mask.sum())
+            if debug_eval:
+                host_label = np.asarray(batch["label"])
             batch = self._shard_batch(batch)
             if training:
                 self.state, m = self.train_step(self.state, batch)
             else:
                 m = self.eval_step(self.state, batch)
             if debug_eval:
+                keep = host_mask.astype(bool)
                 preds = np.asarray(self._predict_labels(batch))
-                dbg_out.append(preds[host_mask])
-                dbg_lab.append(host_label[host_mask])
+                dbg_out.append(preds[keep])
+                dbg_lab.append(host_label[keep])
             acc = accumulate_metrics(acc, m)
             S.update(sample_count=valid, lr=lr)
             if self.print_progress:
@@ -257,9 +264,8 @@ class Trainer:
         apply_fn = self.zoo_model.model.apply
         train_run = make_scan_train_fn(apply_fn, self.tx, self.augment_fn,
                                        mesh=self.mesh)
-        eval_run = make_scan_eval_fn(
-            apply_fn, self.eval_transform,
-            with_preds=os.environ.get("VITX_DEBUG_EVAL") == "1")
+        eval_run = make_scan_eval_fn(apply_fn, self.eval_transform,
+                                     with_preds=_debug_eval_on())
         device_sets = {
             split: (jnp.asarray(imgs), jnp.asarray(labels))
             for split, (imgs, labels) in sets.items()}
@@ -303,9 +309,8 @@ class Trainer:
             jax.random.fold_in(outer_state.rng, 1),
             {"head": outer_state.params["head"]}, self.tx, lineareval=False)
         train_run = make_scan_train_fn(head_apply, self.tx, None)
-        eval_run = make_scan_eval_fn(
-            head_apply, None,
-            with_preds=os.environ.get("VITX_DEBUG_EVAL") == "1")
+        eval_run = make_scan_eval_fn(head_apply, None,
+                                     with_preds=_debug_eval_on())
         try:
             stats = self._scan_epoch_loop(train_run, eval_run, device_sets,
                                           batch_size)
