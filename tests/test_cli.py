@@ -58,3 +58,21 @@ def test_cli_seq_parallel_mesh(tmp_path):
     assert d["info"]["mesh"] == "data=4,seq=2"
     # sequence parallelism is numerically equivalent to the seq=1 program
     assert abs(d["train"][-1]["loss"] - d1["train"][-1]["loss"]) < 1e-3
+
+
+def test_coco_cli_flag_guards():
+    """Invalid detection flag combinations exit with a clear message
+    instead of silently mis-evaluating (round-2 advisor finding)."""
+    import pytest
+    from vit_torch_tpu.cli.coco import main as coco_main
+    base = ["--test", "--device", "cpu", "--epochs", "1"]
+    with pytest.raises(SystemExit):
+        coco_main(base + ["--keypoints", "--head", "detr"])
+    with pytest.raises(SystemExit):
+        coco_main(base + ["--keypoints", "--head", "faster_rcnn", "--masks"])
+    with pytest.raises(SystemExit):
+        coco_main(base + ["--head", "faster_rcnn",
+                          "--panoptic_root", "/nonexistent"])
+    with pytest.raises(SystemExit):
+        coco_main(base + ["--head", "detr", "--mesh", "data=8",
+                          "--bs", "12"])
