@@ -30,9 +30,13 @@ CONFIGS = [
 STEPS = 20
 
 
-def bench_one(arch: str, image_size: int, bs: int) -> dict:
+def bench_one(arch: str, image_size: int, bs: int,
+              w8a8: bool = False) -> dict:
     from vit_torch_tpu.data.datasets import NORM_VALUES
     from vit_torch_tpu.models import VisionModelZoo
+
+    # the dispatch helpers read the env at trace time; set it before jit
+    os.environ["VITX_W8A8"] = "1" if w8a8 else ""
 
     zm = VisionModelZoo.get_model(arch, classifier=[512, 10],
                                   image_size=image_size, dtype=jnp.bfloat16)
@@ -67,6 +71,7 @@ def bench_one(arch: str, image_size: int, bs: int) -> dict:
         times.append(time.perf_counter() - t0)
     dt = min(times)
     return {"arch": arch, "image_size": image_size, "bs": bs,
+            "quant": "w8a8" if w8a8 else "bf16",
             "img_per_sec": round(STEPS * bs / dt, 2),
             "latency_ms_per_batch": round(1000 * dt / STEPS, 3)}
 
@@ -74,18 +79,23 @@ def bench_one(arch: str, image_size: int, bs: int) -> dict:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--w8a8", action="store_true",
+                   help="also measure each config with the dynamic-int8 "
+                        "serving path (VITX_W8A8=1)")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "inference_bench_tpu.json"))
     args = p.parse_args()
     configs = CONFIGS[:1] if args.quick else CONFIGS
     results = []
+    quants = (False, True) if args.w8a8 else (False,)
     for arch, size, bss in configs:
         for bs in bss:
+          for w8a8 in quants:
             try:
-                r = bench_one(arch, size, bs)
+                r = bench_one(arch, size, bs, w8a8=w8a8)
             except Exception as e:
-                r = {"arch": arch, "bs": bs,
+                r = {"arch": arch, "bs": bs, "quant": "w8a8" if w8a8 else "bf16",
                      "error": f"{type(e).__name__}: {e}"}
             print(json.dumps(r), flush=True)
             results.append(r)

@@ -1,0 +1,112 @@
+"""Probe: does the int8 MXU path (s8 x s8 -> s32) beat bf16 on this chip?
+
+v5e datasheet peak: 197 TFLOP/s bf16, 394 TOP/s int8.  PERF.md lever #2
+names quantization as the remaining headroom for the non-attention matmuls
+(measured ~53% MXU on bf16).  This probe times XLA matmuls at the exact
+dino_vitb8 token-matmul shapes (T=25120 tokens, C=768) in three flavors:
+
+  1. bf16 @ bf16 -> fp32          (the production path)
+  2. s8 @ s8 -> s32               (bare int8 MXU rate)
+  3. dynamic W8A8: per-row act quant + s8 matmul + rescale (the real
+     serving path including quantize/dequantize overhead)
+
+Methodology per CLAUDE.md: K=20 matmuls scanned into one dispatch, D2H
+fence, min of 3 rounds.  Writes examples/perf/int8_matmul_probe.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SHAPES = [
+    (25120, 768, 2304),   # qkv, dino_vitb8 bs32 (785 tok)
+    (25120, 768, 3072),   # fc1
+    (25120, 3072, 768),   # fc2
+    (25120, 768, 768),    # proj
+]
+STEPS = 20
+
+
+def _time(fn, *args) -> float:
+    out = fn(*args)
+    jax.tree.map(lambda a: np.asarray(a[-1]).ravel()[0], out)  # compile+fence
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.tree.map(lambda a: np.asarray(a[-1]).ravel()[0], out)
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / STEPS
+
+
+def bench_shape(M: int, K: int, N: int) -> dict:
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(K, N)), jnp.bfloat16)
+    xq = jnp.asarray(rng.integers(-127, 127, (M, K)), jnp.int8)
+    wq = jnp.asarray(rng.integers(-127, 127, (K, N)), jnp.int8)
+    w_scale = jnp.asarray(rng.uniform(0.01, 0.02, (N,)), jnp.float32)
+
+    @jax.jit
+    def run_bf16(x, w):
+        def one(c, _):
+            y = jnp.dot(c, w, preferred_element_type=jnp.float32)
+            # feed back a same-shape carry so steps serialize
+            return (y[:, :K] * 1e-6).astype(jnp.bfloat16), y[:1, :1]
+        _, ys = jax.lax.scan(one, x, None, length=STEPS)
+        return ys
+
+    @jax.jit
+    def run_s8(xq, wq):
+        def one(c, _):
+            y = jax.lax.dot_general(
+                c, wq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return (y[:, :K] & 127).astype(jnp.int8), y[:1, :1]
+        _, ys = jax.lax.scan(one, xq, None, length=STEPS)
+        return ys
+
+    @jax.jit
+    def run_w8a8(x, wq, w_scale):
+        def one(c, _):
+            ax = jnp.max(jnp.abs(c), axis=-1, keepdims=True)
+            scale = (ax / 127.0).astype(jnp.float32) + 1e-8
+            cq = jnp.clip(jnp.round(c.astype(jnp.float32) / scale),
+                          -127, 127).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                cq, wq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * scale * w_scale
+            return (y[:, :K] * 1e-6).astype(jnp.bfloat16), y[:1, :1]
+        _, ys = jax.lax.scan(one, x, None, length=STEPS)
+        return ys
+
+    flops = 2.0 * M * K * N
+    r = {}
+    for name, fn, args in [("bf16", run_bf16, (x, w)),
+                           ("s8", run_s8, (xq, wq)),
+                           ("w8a8_dynamic", run_w8a8, (x, wq, w_scale))]:
+        dt = _time(fn, *args)
+        r[name] = {"ms": round(dt * 1e3, 4),
+                   "tflops": round(flops / dt / 1e12, 1)}
+    return {"shape": [M, K, N], **r}
+
+
+def main() -> None:
+    out = {"device": jax.devices()[0].device_kind, "steps": STEPS,
+           "results": [bench_shape(*s) for s in SHAPES]}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "int8_matmul_probe.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

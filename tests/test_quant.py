@@ -1,0 +1,150 @@
+"""Dynamic W8A8 int8 serving path (``ops/quant.py`` + the ``VITX_W8A8=1``
+dispatch in ``models/layers.py``).
+
+Covers: quantizer error bounds, exactness on int8-representable grids,
+Mlp/Attention module parity within int8 tolerance, whole-model logits
+agreement, and the inference-only guard (the training path must bypass
+quantization — ``round`` has a zero gradient)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_torch_tpu.ops.quant import (
+    quantize_rowwise, quantize_weight, w8a8_dot, w8a8_enabled)
+
+
+def test_quantize_rowwise_roundtrip_bound():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 3.0, (17, 96)), jnp.float32)
+    x_q, scale = quantize_rowwise(x)
+    assert x_q.dtype == jnp.int8 and scale.shape == (17, 1)
+    err = np.abs(np.asarray(x_q, np.float32) * np.asarray(scale)
+                 - np.asarray(x))
+    # symmetric rounding: at most half a quantization step per element
+    assert (err <= np.asarray(scale) / 2 + 1e-6).all()
+
+
+def test_quantize_weight_per_channel():
+    rng = np.random.default_rng(1)
+    # columns with wildly different magnitudes — per-channel scales must
+    # keep the small column accurate
+    w = np.concatenate([rng.normal(0, 100.0, (64, 8)),
+                        rng.normal(0, 0.01, (64, 8))], axis=1)
+    w_q, scale = quantize_weight(jnp.asarray(w, jnp.float32))
+    assert scale.shape == (16,)
+    deq = np.asarray(w_q, np.float32) * np.asarray(scale)
+    err = np.abs(deq - w)
+    assert (err <= np.asarray(scale) / 2 + 1e-6).all()
+
+
+def test_w8a8_dot_exact_on_representable_grid():
+    """Inputs already on the int8 grid pass through losslessly."""
+    rng = np.random.default_rng(2)
+    xi = rng.integers(-127, 128, (11, 32)).astype(np.float32)
+    wi = rng.integers(-127, 128, (32, 24)).astype(np.float32)
+    # absmax 127 in every row/col so scale is exactly 1 (+eps)
+    xi[:, 0] = 127.0
+    wi[0, :] = 127.0
+    got = w8a8_dot(jnp.asarray(xi), jnp.asarray(wi), out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), xi @ wi, rtol=1e-4)
+
+
+def test_w8a8_dot_relative_error():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (128, 96)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, (96, 160)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, (160,)), jnp.float32)
+    ref = np.asarray(x) @ np.asarray(w) + np.asarray(b)
+    got = np.asarray(w8a8_dot(x, w, b, out_dtype=jnp.float32))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel
+    # 3D activations (B, N, C) contract correctly too
+    x3 = x.reshape(4, 32, 96)
+    got3 = np.asarray(w8a8_dot(x3, w, b, out_dtype=jnp.float32))
+    np.testing.assert_allclose(got3.reshape(128, 160), got, rtol=1e-5)
+
+
+def test_flag_dispatch(monkeypatch):
+    from vit_torch_tpu.models.layers import _use_w8a8
+    monkeypatch.setenv("VITX_W8A8", "")
+    assert not w8a8_enabled() and not _use_w8a8(True)
+    monkeypatch.setenv("VITX_W8A8", "1")
+    assert w8a8_enabled()
+    assert _use_w8a8(True)
+    assert not _use_w8a8(False)      # training never quantizes
+
+
+@pytest.mark.parametrize("bhnd", [False, True])
+def test_attention_module_w8a8_parity(monkeypatch, bhnd):
+    from vit_torch_tpu.models.layers import Attention
+    x = jnp.asarray(np.random.default_rng(5).normal(0, 1, (2, 37, 128)),
+                    jnp.float32)
+    m = Attention(num_heads=4, dtype=jnp.float32)
+    monkeypatch.setenv("VITX_W8A8", "")
+    monkeypatch.setenv("VITX_ATTN_BHND", "0")
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    ref = np.asarray(m.apply({"params": params}, x))
+    monkeypatch.setenv("VITX_W8A8", "1")
+    monkeypatch.setenv("VITX_ATTN_BHND", "1" if bhnd else "0")
+    got = np.asarray(m.apply({"params": params}, x))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.05, (bhnd, rel)
+
+
+def test_mlp_module_w8a8_parity(monkeypatch):
+    from vit_torch_tpu.models.layers import Mlp
+    x = jnp.asarray(np.random.default_rng(6).normal(0, 1, (2, 19, 64)),
+                    jnp.float32)
+    m = Mlp(hidden_dim=256, dtype=jnp.float32)
+    monkeypatch.setenv("VITX_W8A8", "")
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    ref = np.asarray(m.apply({"params": params}, x))
+    monkeypatch.setenv("VITX_W8A8", "1")
+    got = np.asarray(m.apply({"params": params}, x))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.05, rel
+
+
+def test_train_path_bypasses_quant(monkeypatch):
+    """deterministic=False under the flag == the unquantized forward, and
+    gradients flow (round's zero gradient never enters the train graph)."""
+    from vit_torch_tpu.models.layers import Mlp
+    x = jnp.asarray(np.random.default_rng(7).normal(0, 1, (3, 16)),
+                    jnp.float32)
+    m = Mlp(hidden_dim=32, dtype=jnp.float32)
+    monkeypatch.setenv("VITX_W8A8", "")
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    ref = np.asarray(m.apply({"params": params}, x, False,
+                             rngs={"dropout": jax.random.PRNGKey(1)}))
+    monkeypatch.setenv("VITX_W8A8", "1")
+    got = np.asarray(m.apply({"params": params}, x, False,
+                             rngs={"dropout": jax.random.PRNGKey(1)}))
+    np.testing.assert_array_equal(got, ref)
+
+    def loss(p):
+        return jnp.sum(m.apply({"params": p}, x, False,
+                               rngs={"dropout": jax.random.PRNGKey(1)}) ** 2)
+
+    g = jax.grad(loss)(params)
+    norms = [float(jnp.linalg.norm(leaf)) for leaf in jax.tree.leaves(g)]
+    assert all(np.isfinite(norms)) and max(norms) > 0
+
+
+def test_vit_logits_agreement(monkeypatch):
+    """Whole tiny-ViT forward: int8 logits track bf16-path logits closely
+    enough to preserve the prediction (top-1 agreement)."""
+    from vit_torch_tpu.models import VisionModelZoo
+    zm = VisionModelZoo.get_model("vit_tiny_test", classifier=[10],
+                                  image_size=32, dtype=jnp.float32)
+    variables = zm.init(jax.random.PRNGKey(0), image_size=32)
+    x = jnp.asarray(np.random.default_rng(8).normal(0, 1, (8, 32, 32, 3)),
+                    jnp.float32)
+    monkeypatch.setenv("VITX_W8A8", "")
+    ref = np.asarray(zm.model.apply(variables, x, True))
+    monkeypatch.setenv("VITX_W8A8", "1")
+    got = np.asarray(zm.model.apply(variables, x, True))
+    cos = np.sum(ref * got) / (np.linalg.norm(ref) * np.linalg.norm(got))
+    assert cos > 0.99, cos
+    assert (ref.argmax(-1) == got.argmax(-1)).all()

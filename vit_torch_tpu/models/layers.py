@@ -94,6 +94,16 @@ class DropPath(nn.Module):
         return drop_path(x, self.rate, deterministic, rng)
 
 
+def _use_w8a8(deterministic: bool) -> bool:
+    """Dispatch the dynamic-int8 serving path (``ops/quant.py``,
+    ``VITX_W8A8=1``).  Inference only: ``jnp.round`` in the quantizer has a
+    zero gradient, so the training path must never route through it."""
+    if not deterministic:
+        return False
+    from vit_torch_tpu.ops.quant import w8a8_enabled
+    return w8a8_enabled()
+
+
 def _use_fused_mlp(T: int, C: int, hidden: int, out_dim: int) -> bool:
     """Dispatch to the fused fc1→GELU→fc2 Pallas kernel
     (``ops/fused_mlp.py``).  OPT-IN only (VITX_FUSED_MLP=1): measured on
@@ -137,6 +147,10 @@ class Mlp(nn.Module):
             from vit_torch_tpu.ops.fused_mlp import fused_mlp
             return fused_mlp(x, w1.astype(dt), b1.astype(dt),
                              w2.astype(dt), b2.astype(dt))
+        if _use_w8a8(deterministic):
+            from vit_torch_tpu.ops.quant import w8a8_dot
+            x = self.act(w8a8_dot(x.astype(dt), w1, b1))
+            return w8a8_dot(x, w2, b2)
         x = jnp.dot(x, w1.astype(dt)) + b1.astype(dt)
         x = self.act(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -205,7 +219,36 @@ class Attention(nn.Module):
         w_qkv, b_qkv = DenseParams(3 * C, self.qkv_bias, name="qkv")(C)
         w_proj, b_proj = DenseParams(C, name="proj")(C)
         dt = self.dtype
-        if _attn_fused_block(x, H):
+        if _use_w8a8(deterministic):
+            # int8 serving path (takes precedence over the opt-in fused
+            # kernels): qkv + proj run s8xs8->s32 on the MXU; the attention
+            # core itself stays bf16 (flash kernel).  The head-major layout
+            # is kept — XLA folds the post-dot head transpose into the
+            # rescale epilogue the same way it folds it into the einsum's.
+            from vit_torch_tpu.ops.quant import w8a8_dot
+            if _attn_bhnd_layout(x, H):
+                from vit_torch_tpu.ops.flash_attention import (
+                    flash_attention_bhnd)
+                w3 = w_qkv.reshape(C, 3, C)
+                b3 = (None, None, None) if b_qkv is None \
+                    else b_qkv.reshape(3, C)
+
+                def heads(y):
+                    return y.reshape(B, N, H, head_dim).transpose(0, 2, 1, 3)
+
+                qh = heads(w8a8_dot(x, w3[:, 0], b3[0]))
+                kh = heads(w8a8_dot(x, w3[:, 1], b3[1]))
+                vh = heads(w8a8_dot(x, w3[:, 2], b3[2]))
+                out = flash_attention_bhnd(qh, kh, vh, scale=scale)
+                out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+            else:
+                qkv = w8a8_dot(x, w_qkv, b_qkv)
+                qkv = qkv.reshape(B, N, 3, H, head_dim)
+                out = dot_product_attention(
+                    qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], scale=scale)
+                out = out.reshape(B, N, C)
+            out = w8a8_dot(out, w_proj, b_proj)
+        elif _attn_fused_block(x, H):
             # fully-fused Pallas kernel: qkv matmul + attention + proj in
             # one program — q/k/v/attn-out never touch HBM
             from vit_torch_tpu.ops.attn_block import attention_block
