@@ -1,0 +1,102 @@
+"""Serving export bundles (``serving/export.py`` + ``cli/export.py``):
+export → serialize → deserialize → predict must reproduce the live
+forward, bucketing must pad/chunk correctly, and the CLI must emit a
+loadable bundle."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_torch_tpu.models import VisionModelZoo
+from vit_torch_tpu.serving import export_classifier, load_bundle, save_bundle
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    zm = VisionModelZoo.get_model("vit_tiny_test", classifier=[10],
+                                  image_size=32, dtype=jnp.float32)
+    variables = zm.init(jax.random.PRNGKey(0), image_size=32)
+    return zm, variables
+
+
+def test_export_roundtrip_matches_live_forward(tiny, tmp_path):
+    zm, variables = tiny
+    exported = export_classifier(zm, variables, image_size=32,
+                                 batch_sizes=[2, 4],
+                                 norm={"mean": (0.5, 0.5, 0.5),
+                                       "std": (0.25, 0.25, 0.25)})
+    save_bundle(str(tmp_path), exported)
+    assert sorted(os.listdir(tmp_path)) == [
+        "fwd_bs2.stablehlo", "fwd_bs4.stablehlo", "manifest.json"]
+
+    model = load_bundle(str(tmp_path))
+    assert model.batch_sizes == (2, 4)
+    assert model.manifest["num_classes"] == 10
+    assert model.manifest["arch"] == "vit_tiny_test"
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8)
+    got = model.predict(images)
+    mean = jnp.asarray([0.5] * 3, jnp.float32)
+    std = jnp.asarray([0.25] * 3, jnp.float32)
+    x = (jnp.asarray(images, jnp.float32) / 255.0 - mean) / std
+    ref = np.asarray(zm.model.apply(variables, x, True), np.float32)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_predict_bucketing(tiny, tmp_path):
+    """Odd batch sizes pad up to a bucket; oversize batches chunk through
+    the largest bucket — results must match per-image inference."""
+    zm, variables = tiny
+    exported = export_classifier(zm, variables, image_size=32,
+                                 batch_sizes=[2, 4])
+    save_bundle(str(tmp_path), exported)
+    model = load_bundle(str(tmp_path))
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 255, (7, 32, 32, 3), dtype=np.uint8)
+    got = model.predict(images)              # 7 = chunk(4) + pad(3→4)
+    assert got.shape == (7, 10)
+    x = jnp.asarray(images, jnp.float32) / 255.0
+    ref = np.asarray(zm.model.apply(variables, x, True), np.float32)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+    with pytest.raises(ValueError):
+        model.predict(images[0])             # not NHWC
+
+
+def test_w8a8_export_bakes_quant_path(tiny, tmp_path, monkeypatch):
+    zm, variables = tiny
+    monkeypatch.setenv("VITX_W8A8", "1")
+    exported = export_classifier(zm, variables, image_size=32,
+                                 batch_sizes=[2])
+    assert exported["manifest"]["w8a8"] is True
+    save_bundle(str(tmp_path), exported)
+    monkeypatch.setenv("VITX_W8A8", "")      # artifact must not care
+    model = load_bundle(str(tmp_path))
+    rng = np.random.default_rng(2)
+    images = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    got = model.predict(images)
+    x = jnp.asarray(images, jnp.float32) / 255.0
+    ref = np.asarray(zm.model.apply(variables, x, True), np.float32)
+    # int8 path: close but not bit-equal
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert 0 < rel < 0.05, rel
+    assert (got.argmax(-1) == ref.argmax(-1)).all()
+
+
+def test_export_cli(tmp_path):
+    from vit_torch_tpu.cli.export import main
+    out = str(tmp_path / "bundle")
+    main(["--arch", "vit_tiny_test", "--classifier", "10",
+          "--image_size", "32", "--bs", "2", "--dataset", "cifar10",
+          "--device", "cpu", "--out", out])
+    with open(os.path.join(out, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["batch_sizes"] == [2]
+    assert manifest["norm"]["mean"][0] == pytest.approx(0.4914, abs=1e-3)
+    model = load_bundle(out)
+    logits = model.predict(np.zeros((2, 32, 32, 3), np.uint8))
+    assert logits.shape == (2, 10) and np.isfinite(logits).all()

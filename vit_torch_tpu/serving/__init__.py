@@ -1,0 +1,4 @@
+from vit_torch_tpu.serving.export import (
+    ServingModel, export_classifier, load_bundle, save_bundle)
+
+__all__ = ["ServingModel", "export_classifier", "load_bundle", "save_bundle"]

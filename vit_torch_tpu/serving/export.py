@@ -1,0 +1,153 @@
+"""AOT serving export: compile-once, deploy-anywhere classifier bundles.
+
+The reference's deployment story is ``torch.save``/``torch.load`` of a
+pickled model plus a live torch install at serving time
+(reference ``utils_network.py`` checkpoint save/load).  The TPU-native
+equivalent is ahead-of-time export through ``jax.export``: the eval
+forward — preprocessing included — is traced, lowered to StableHLO with
+the parameters baked in as constants, and serialized to a self-contained
+artifact that any JAX runtime (same or newer jaxlib, CPU or TPU) can
+deserialize and run without the model-zoo code, the checkpoint files, or
+the Python model definition.
+
+Serving contract per artifact:
+
+    uint8 images (bs, H, W, 3)  →  fp32 logits (bs, num_classes)
+
+with the dataset normalization ``(x/255 - mean)/std`` executed in-graph,
+so the client ships raw decoded pixels.  Static shapes (design invariant)
+mean one artifact per batch size; ``ServingModel.predict`` does standard
+serving-side bucketing — pad the request batch up to the smallest
+exported bucket, slice the padding back off.
+
+Kernel-dispatch env knobs (``VITX_W8A8=1``, ``VITX_ATTN_BHND``, ...) are
+read at trace time, so an export performed under ``VITX_W8A8=1`` bakes
+the int8 MXU serving path into the artifact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MANIFEST = "manifest.json"
+
+
+@dataclasses.dataclass
+class ServingModel:
+    """A loaded serving bundle: per-batch-size compiled forwards."""
+
+    manifest: Dict
+    _fns: Dict[int, "jax.export.Exported"]
+
+    @property
+    def batch_sizes(self) -> Tuple[int, ...]:
+        return tuple(sorted(self._fns))
+
+    def predict(self, images: np.ndarray) -> np.ndarray:
+        """Run raw uint8 NHWC images through the exported forward.
+
+        Batches that don't match an exported bucket are zero-padded up to
+        the smallest bucket that fits (the serving-side half of the
+        static-shapes contract); oversize batches are chunked through the
+        largest bucket.
+        """
+        if images.ndim != 4 or images.shape[-1] != 3:
+            raise ValueError(f"expected (bs, H, W, 3) uint8, got {images.shape}")
+        n = images.shape[0]
+        buckets = self.batch_sizes
+        largest = buckets[-1]
+        if n > largest:
+            parts = [self.predict(images[i:i + largest])
+                     for i in range(0, n, largest)]
+            return np.concatenate(parts, axis=0)
+        bs = next(b for b in buckets if b >= n)
+        if n < bs:
+            pad = np.zeros((bs - n,) + images.shape[1:], images.dtype)
+            images = np.concatenate([images, pad], axis=0)
+        logits = self._fns[bs].call(jnp.asarray(images))
+        return np.asarray(logits)[:n]
+
+
+def export_classifier(zoo_model, variables, *, image_size: int,
+                      batch_sizes: Sequence[int] = (1, 8, 32),
+                      norm: Optional[Dict[str, Sequence[float]]] = None,
+                      platforms: Optional[Sequence[str]] = None) -> Dict:
+    """Export a zoo classifier's eval forward for each batch size.
+
+    ``norm`` is ``{"mean": (3,), "std": (3,)}`` in 0-1 units (a
+    ``data.datasets.NORM_VALUES`` entry); default is identity
+    (mean 0 / std 1), i.e. only the /255 scaling.  ``platforms`` follows
+    ``jax.export.export`` (e.g. ``["cpu", "tpu"]`` for a multi-platform
+    artifact); default is the trace-time backend.
+
+    Returns ``{"manifest": dict, "exports": {bs: Exported}}``.
+    """
+    norm = norm or {"mean": (0.0, 0.0, 0.0), "std": (1.0, 1.0, 1.0)}
+    dt = getattr(zoo_model.model.backbone, "dtype", jnp.bfloat16)
+    mean = jnp.asarray(norm["mean"], dt)
+    std = jnp.asarray(norm["std"], dt)
+    # params ride inside the closure: export bakes them into the StableHLO
+    # as constants, making the artifact self-contained
+    apply_fn = zoo_model.model.apply
+
+    def forward(images):
+        x = (images.astype(dt) / 255.0 - mean) / std
+        return apply_fn(variables, x, True).astype(jnp.float32)
+
+    exports = {}
+    for bs in sorted(set(int(b) for b in batch_sizes)):
+        spec = jax.ShapeDtypeStruct((bs, image_size, image_size, 3), jnp.uint8)
+        exports[bs] = jax.export.export(
+            jax.jit(forward),
+            platforms=None if platforms is None else list(platforms))(spec)
+    num_classes = int(exports[min(exports)].out_avals[0].shape[-1])
+    manifest = {
+        "format": "vit_torch_tpu.serving/1",
+        "arch": zoo_model.arch,
+        "family": zoo_model.family,
+        "image_size": int(image_size),
+        "batch_sizes": sorted(exports),
+        "num_classes": num_classes,
+        "norm": {"mean": list(map(float, norm["mean"])),
+                 "std": list(map(float, norm["std"]))},
+        "platforms": list(exports[min(exports)].platforms),
+        "activation_dtype": jnp.dtype(dt).name,
+        "w8a8": os.environ.get("VITX_W8A8", "") == "1",
+        "jax_version": jax.__version__,
+    }
+    return {"manifest": manifest, "exports": exports}
+
+
+def save_bundle(bundle_dir: str, exported: Dict) -> None:
+    """Write ``export_classifier``'s result as a directory bundle:
+    ``manifest.json`` + one ``fwd_bs{N}.stablehlo`` blob per batch size."""
+    os.makedirs(bundle_dir, exist_ok=True)
+    for bs, exp in exported["exports"].items():
+        with open(os.path.join(bundle_dir, f"fwd_bs{bs}.stablehlo"), "wb") as f:
+            f.write(exp.serialize())
+    with open(os.path.join(bundle_dir, _MANIFEST), "w") as f:
+        json.dump(exported["manifest"], f, indent=1)
+
+
+def load_bundle(bundle_dir: str) -> ServingModel:
+    """Load a bundle directory into a ready-to-run :class:`ServingModel`.
+
+    Needs only jax + the artifact — no model code, no checkpoint files.
+    """
+    with open(os.path.join(bundle_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    fns = {}
+    for bs in manifest["batch_sizes"]:
+        path = os.path.join(bundle_dir, f"fwd_bs{bs}.stablehlo")
+        with open(path, "rb") as f:
+            fns[int(bs)] = jax.export.deserialize(f.read())
+    if not fns:
+        raise ValueError(f"no exported forwards in {bundle_dir}")
+    return ServingModel(manifest=manifest, _fns=fns)
