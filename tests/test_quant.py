@@ -132,6 +132,41 @@ def test_train_path_bypasses_quant(monkeypatch):
     assert all(np.isfinite(norms)) and max(norms) > 0
 
 
+def test_detr_w8a8_parity(monkeypatch):
+    """DETR transformer under the int8 flag: identical param tree, close
+    predictions at eval, and the flag must not perturb the TRAIN forward
+    (deterministic=False)."""
+    from vit_torch_tpu.detection.detr import DETR, DETRConfig
+    from vit_torch_tpu.models.swin import SWIN_CONFIGS, SwinTransformer
+    backbone = SwinTransformer(SWIN_CONFIGS["swin_test"], dtype=jnp.float32,
+                               features_only=True, name="backbone")
+    cfg = DETRConfig(num_classes=3, num_queries=8, hidden_dim=32,
+                     num_heads=4, enc_layers=1, dec_layers=2, ffn_dim=64)
+    model = DETR(cfg, backbone, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(9).normal(0, 1, (2, 32, 32, 3)),
+                    jnp.float32)
+    monkeypatch.setenv("VITX_W8A8", "")
+    variables = model.init(jax.random.PRNGKey(0), x, True)
+    ref = model.apply(variables, x, True)
+    monkeypatch.setenv("VITX_W8A8", "1")
+    # param tree unchanged under the flag (QDense keeps Dense's layout)
+    v2 = model.init(jax.random.PRNGKey(0), x, True)
+    assert jax.tree.map(lambda a: a.shape, v2) == \
+        jax.tree.map(lambda a: a.shape, variables)
+    got = model.apply(variables, x, True)
+    for k in ("pred_logits", "pred_boxes"):
+        r, g = np.asarray(ref[k]), np.asarray(got[k])
+        rel = np.linalg.norm(g - r) / (np.linalg.norm(r) + 1e-9)
+        assert rel < 0.08, (k, rel)
+    # train-mode forward bypasses quantization entirely
+    rngs = {"dropout": jax.random.PRNGKey(1)}
+    t_ref = model.apply(variables, x, False, rngs=rngs)
+    monkeypatch.setenv("VITX_W8A8", "")
+    t_plain = model.apply(variables, x, False, rngs=rngs)
+    np.testing.assert_array_equal(np.asarray(t_ref["pred_logits"]),
+                                  np.asarray(t_plain["pred_logits"]))
+
+
 def test_vit_logits_agreement(monkeypatch):
     """Whole tiny-ViT forward: int8 logits track bf16-path logits closely
     enough to preserve the prediction (top-1 agreement)."""

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_torch_tpu.detection.boxes import cxcywh_to_xyxy, generalized_box_iou
-from vit_torch_tpu.models.layers import Dtype, LayerNorm
+from vit_torch_tpu.models.layers import Dtype, LayerNorm, QDense, _use_w8a8
 from vit_torch_tpu.ops.attention import dot_product_attention
 
 
@@ -65,22 +65,23 @@ class MHA(nn.Module):
 
     num_heads: int
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, q, k, v):
         B, Nq, C = q.shape
         H = self.num_heads
         d = C // H
-        qp = nn.Dense(C, dtype=self.dtype, kernel_init=_xavier,
-                      name="q")(q).reshape(B, Nq, H, d)
-        kp = nn.Dense(C, dtype=self.dtype, kernel_init=_xavier,
-                      name="k")(k).reshape(B, -1, H, d)
-        vp = nn.Dense(C, dtype=self.dtype, kernel_init=_xavier,
-                      name="v")(v).reshape(B, -1, H, d)
+        qp = QDense(C, dtype=self.dtype, kernel_init=_xavier, quant=self.quant,
+                    name="q")(q).reshape(B, Nq, H, d)
+        kp = QDense(C, dtype=self.dtype, kernel_init=_xavier, quant=self.quant,
+                    name="k")(k).reshape(B, -1, H, d)
+        vp = QDense(C, dtype=self.dtype, kernel_init=_xavier, quant=self.quant,
+                    name="v")(v).reshape(B, -1, H, d)
         out = dot_product_attention(qp, kp, vp, scale=d ** -0.5)
         out = out.reshape(B, Nq, C)
-        return nn.Dense(C, dtype=self.dtype, kernel_init=_xavier,
-                        name="out")(out)
+        return QDense(C, dtype=self.dtype, kernel_init=_xavier,
+                      quant=self.quant, name="out")(out)
 
 
 class EncoderLayer(nn.Module):
@@ -88,6 +89,7 @@ class EncoderLayer(nn.Module):
     ffn_dim: int
     pre_norm: bool = False
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, pos):
@@ -97,24 +99,24 @@ class EncoderLayer(nn.Module):
         C = x.shape[-1]
         if self.pre_norm:
             y = LayerNorm(dtype=self.dtype, name="norm1")(x)
-            y = MHA(self.num_heads, dtype=self.dtype, name="self_attn")(
-                y + pos, y + pos, y)
+            y = MHA(self.num_heads, dtype=self.dtype, quant=self.quant,
+                    name="self_attn")(y + pos, y + pos, y)
             x = x + y
             y = LayerNorm(dtype=self.dtype, name="norm2")(x)
-            y = nn.Dense(self.ffn_dim, dtype=self.dtype, kernel_init=_xavier,
-                         name="linear1")(y)
+            y = QDense(self.ffn_dim, dtype=self.dtype, kernel_init=_xavier,
+                       quant=self.quant, name="linear1")(y)
             y = nn.relu(y)
-            y = nn.Dense(C, dtype=self.dtype, kernel_init=_xavier,
-                         name="linear2")(y)
+            y = QDense(C, dtype=self.dtype, kernel_init=_xavier,
+                       quant=self.quant, name="linear2")(y)
             return x + y
-        y = MHA(self.num_heads, dtype=self.dtype, name="self_attn")(
-            x + pos, x + pos, x)
+        y = MHA(self.num_heads, dtype=self.dtype, quant=self.quant,
+                name="self_attn")(x + pos, x + pos, x)
         x = LayerNorm(dtype=self.dtype, name="norm1")(x + y)
-        y = nn.Dense(self.ffn_dim, dtype=self.dtype, kernel_init=_xavier,
-                     name="linear1")(x)
+        y = QDense(self.ffn_dim, dtype=self.dtype, kernel_init=_xavier,
+                   quant=self.quant, name="linear1")(x)
         y = nn.relu(y)
-        y = nn.Dense(C, dtype=self.dtype, kernel_init=_xavier,
-                     name="linear2")(y)
+        y = QDense(C, dtype=self.dtype, kernel_init=_xavier,
+                   quant=self.quant, name="linear2")(y)
         return LayerNorm(dtype=self.dtype, name="norm2")(x + y)
 
 
@@ -123,37 +125,38 @@ class DecoderLayer(nn.Module):
     ffn_dim: int
     pre_norm: bool = False
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, tgt, memory, query_pos, mem_pos):
         C = tgt.shape[-1]
         if self.pre_norm:
             y = LayerNorm(dtype=self.dtype, name="norm1")(tgt)
-            y = MHA(self.num_heads, dtype=self.dtype, name="self_attn")(
-                y + query_pos, y + query_pos, y)
+            y = MHA(self.num_heads, dtype=self.dtype, quant=self.quant,
+                    name="self_attn")(y + query_pos, y + query_pos, y)
             tgt = tgt + y
             y = LayerNorm(dtype=self.dtype, name="norm2")(tgt)
-            y = MHA(self.num_heads, dtype=self.dtype, name="cross_attn")(
-                y + query_pos, memory + mem_pos, memory)
+            y = MHA(self.num_heads, dtype=self.dtype, quant=self.quant,
+                    name="cross_attn")(y + query_pos, memory + mem_pos, memory)
             tgt = tgt + y
             y = LayerNorm(dtype=self.dtype, name="norm3")(tgt)
-            y = nn.Dense(self.ffn_dim, dtype=self.dtype, kernel_init=_xavier,
-                         name="linear1")(y)
+            y = QDense(self.ffn_dim, dtype=self.dtype, kernel_init=_xavier,
+                       quant=self.quant, name="linear1")(y)
             y = nn.relu(y)
-            y = nn.Dense(C, dtype=self.dtype, kernel_init=_xavier,
-                         name="linear2")(y)
+            y = QDense(C, dtype=self.dtype, kernel_init=_xavier,
+                       quant=self.quant, name="linear2")(y)
             return tgt + y
-        y = MHA(self.num_heads, dtype=self.dtype, name="self_attn")(
-            tgt + query_pos, tgt + query_pos, tgt)
+        y = MHA(self.num_heads, dtype=self.dtype, quant=self.quant,
+                name="self_attn")(tgt + query_pos, tgt + query_pos, tgt)
         tgt = LayerNorm(dtype=self.dtype, name="norm1")(tgt + y)
-        y = MHA(self.num_heads, dtype=self.dtype, name="cross_attn")(
-            tgt + query_pos, memory + mem_pos, memory)
+        y = MHA(self.num_heads, dtype=self.dtype, quant=self.quant,
+                name="cross_attn")(tgt + query_pos, memory + mem_pos, memory)
         tgt = LayerNorm(dtype=self.dtype, name="norm2")(tgt + y)
-        y = nn.Dense(self.ffn_dim, dtype=self.dtype, kernel_init=_xavier,
-                     name="linear1")(tgt)
+        y = QDense(self.ffn_dim, dtype=self.dtype, kernel_init=_xavier,
+                   quant=self.quant, name="linear1")(tgt)
         y = nn.relu(y)
-        y = nn.Dense(C, dtype=self.dtype, kernel_init=_xavier,
-                     name="linear2")(y)
+        y = QDense(C, dtype=self.dtype, kernel_init=_xavier,
+                   quant=self.quant, name="linear2")(y)
         return LayerNorm(dtype=self.dtype, name="norm3")(tgt + y)
 
 
@@ -236,16 +239,18 @@ class DETR(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         cfg = self.config
+        quant = _use_w8a8(deterministic)   # int8 serving path (VITX_W8A8=1)
         feats = self.backbone(x, deterministic)        # (B, H', W', C)
         B, Hf, Wf, C = feats.shape
-        src = nn.Dense(cfg.hidden_dim, dtype=self.dtype, name="input_proj")(
-            feats.reshape(B, Hf * Wf, C))
+        src = QDense(cfg.hidden_dim, dtype=self.dtype, quant=quant,
+                     name="input_proj")(feats.reshape(B, Hf * Wf, C))
         pos = make_position_embedding(self, cfg, Hf, Wf).astype(src.dtype)
 
         memory = src
         for i in range(cfg.enc_layers):
             memory = EncoderLayer(cfg.num_heads, cfg.ffn_dim,
                                   pre_norm=cfg.pre_norm, dtype=self.dtype,
+                                  quant=quant,
                                   name=f"encoder_{i}")(memory, pos)
         if cfg.pre_norm:
             # upstream: encoder_norm when normalize_before
@@ -271,6 +276,7 @@ class DETR(nn.Module):
         for i in range(cfg.dec_layers):
             tgt = DecoderLayer(cfg.num_heads, cfg.ffn_dim,
                                pre_norm=cfg.pre_norm, dtype=self.dtype,
+                               quant=quant,
                                name=f"decoder_{i}")(tgt, memory, query_pos, pos)
             intermediates.append(decoder_norm(tgt))
 

@@ -31,7 +31,7 @@ from vit_torch_tpu.detection.detr import (
     BoxMLP, DecoderLayer, DETRConfig, EncoderLayer, make_position_embedding,
     sine_position_embedding,
 )
-from vit_torch_tpu.models.layers import Dtype, LayerNorm
+from vit_torch_tpu.models.layers import Dtype, LayerNorm, QDense, _use_w8a8
 
 
 class MHAttentionMap(nn.Module):
@@ -111,18 +111,20 @@ class DETRSegm(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         cfg = self.config
+        quant = _use_w8a8(deterministic)   # int8 serving path (VITX_W8A8=1)
         stages = self.backbone(x, deterministic)
         assert isinstance(stages, (list, tuple)) and len(stages) >= 3, \
             "DETRSegm needs a multi-stage backbone (multi_features=True)"
         feats = stages[-1]
         B, Hf, Wf, C = feats.shape
-        src = nn.Dense(cfg.hidden_dim, dtype=self.dtype, name="input_proj")(
-            feats.reshape(B, Hf * Wf, C))
+        src = QDense(cfg.hidden_dim, dtype=self.dtype, quant=quant,
+                     name="input_proj")(feats.reshape(B, Hf * Wf, C))
         pos = make_position_embedding(self, cfg, Hf, Wf).astype(src.dtype)
         memory = src
         for i in range(cfg.enc_layers):
             memory = EncoderLayer(cfg.num_heads, cfg.ffn_dim,
                                   pre_norm=cfg.pre_norm, dtype=self.dtype,
+                                  quant=quant,
                                   name=f"encoder_{i}")(memory, pos)
         if cfg.pre_norm:
             from vit_torch_tpu.models.layers import LayerNorm as _LN
@@ -143,6 +145,7 @@ class DETRSegm(nn.Module):
         for i in range(cfg.dec_layers):
             tgt = DecoderLayer(cfg.num_heads, cfg.ffn_dim,
                                pre_norm=cfg.pre_norm, dtype=self.dtype,
+                               quant=quant,
                                name=f"decoder_{i}")(tgt, memory, query_pos,
                                                     pos)
             intermediates.append(decoder_norm(tgt))

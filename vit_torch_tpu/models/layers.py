@@ -72,6 +72,41 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+class QDense(nn.Module):
+    """``nn.Dense`` drop-in (identical ``kernel``/``bias`` param tree and
+    init defaults) that routes through the dynamic-int8 matmul
+    (``ops/quant.py``) when ``quant=True`` AND ``VITX_W8A8=1``.
+
+    ``quant`` is the caller's deterministic-aware enable — pass
+    ``_use_w8a8(deterministic)`` so the training path never quantizes.
+    Used by the DETR transformer, whose layers take Dense kernels by name
+    (checkpoint importers see the same tree either way)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32) \
+            if self.use_bias else None
+        dt = self.dtype
+        if self.quant:
+            from vit_torch_tpu.ops.quant import w8a8_enabled
+            if w8a8_enabled():
+                from vit_torch_tpu.ops.quant import w8a8_dot
+                return w8a8_dot(x.astype(dt), kernel, bias)
+        y = jnp.dot(x.astype(dt), kernel.astype(dt))
+        if bias is not None:
+            y = y + bias.astype(dt)
+        return y
+
+
 def drop_path(x: jax.Array, rate: float, deterministic: bool,
               rng: Optional[jax.Array]) -> jax.Array:
     """Stochastic depth: drop the whole residual branch per sample."""
