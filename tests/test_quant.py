@@ -167,6 +167,43 @@ def test_detr_w8a8_parity(monkeypatch):
                                   np.asarray(t_plain["pred_logits"]))
 
 
+def test_frcnn_box_head_w8a8_parity(monkeypatch):
+    """FasterRCNN box-head FCs under the int8 flag: same tree, close
+    eval outputs, train forward untouched."""
+    from vit_torch_tpu.detection.faster_rcnn import (
+        FasterRCNN, FasterRCNNConfig)
+    from vit_torch_tpu.models.resnet import RESNET_CONFIGS, ResNet
+    backbone = ResNet(RESNET_CONFIGS["resnet_test"], dtype=jnp.float32,
+                      features_only=True, name="backbone")
+    cfg = FasterRCNNConfig(num_classes=3, image_size=64, strides=(4, 8),
+                           anchor_sizes=(8.0, 16.0), num_proposals=32,
+                           rpn_pre_nms_topk=64, rpn_batch=32, roi_batch=16,
+                           detections=10)
+    model = FasterRCNN(cfg, backbone, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(10).normal(0, 1, (1, 64, 64, 3)),
+                    jnp.float32)
+    monkeypatch.setenv("VITX_W8A8", "")
+    variables = model.init(jax.random.PRNGKey(0), x, deterministic=True)
+    ref = model.apply(variables, x, deterministic=True)
+    monkeypatch.setenv("VITX_W8A8", "1")
+    v2 = model.init(jax.random.PRNGKey(0), x, deterministic=True)
+    assert jax.tree.map(lambda a: a.shape, v2) == \
+        jax.tree.map(lambda a: a.shape, variables)
+    got = model.apply(variables, x, deterministic=True)
+    r, g = np.asarray(ref["cls_logits"]), np.asarray(got["cls_logits"])
+    rel = np.linalg.norm(g - r) / (np.linalg.norm(r) + 1e-9)
+    assert 0 < rel < 0.08, rel
+    t_q, _ = model.apply(variables, x, jax.random.PRNGKey(1),
+                         deterministic=False, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(1)})
+    monkeypatch.setenv("VITX_W8A8", "")
+    t_p, _ = model.apply(variables, x, jax.random.PRNGKey(1),
+                         deterministic=False, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_array_equal(np.asarray(t_q["cls_logits"]),
+                                  np.asarray(t_p["cls_logits"]))
+
+
 def test_vit_logits_agreement(monkeypatch):
     """Whole tiny-ViT forward: int8 logits track bf16-path logits closely
     enough to preserve the prediction (top-1 agreement)."""

@@ -33,7 +33,7 @@ import numpy as np
 from flax import linen as nn
 
 from vit_torch_tpu.detection.boxes import box_iou, nms_padded
-from vit_torch_tpu.models.layers import Dtype
+from vit_torch_tpu.models.layers import Dtype, QDense, _use_w8a8
 
 
 # --------------------------------------------------------------------------
@@ -309,8 +309,14 @@ class FasterRCNN(nn.Module):
         roi_feats = roi_align(feats, prop_boxes, cfg.strides)   # (B,R,7,7,C)
         B, R = roi_feats.shape[:2]
         x = roi_feats.reshape(B, R, -1)
-        x = nn.relu(nn.Dense(1024, dtype=self.dtype, name="box_fc1")(x))
-        x = nn.relu(nn.Dense(1024, dtype=self.dtype, name="box_fc2")(x))
+        # box-head FCs carry ~13 GFLOP/image (R x 12544->1024) — int8-able
+        # at serving time; cls/bbox output layers stay fp32 (small,
+        # precision-sensitive)
+        quant = _use_w8a8(deterministic)
+        x = nn.relu(QDense(1024, dtype=self.dtype, quant=quant,
+                           name="box_fc1")(x))
+        x = nn.relu(QDense(1024, dtype=self.dtype, quant=quant,
+                           name="box_fc2")(x))
         cls_logits = nn.Dense(cfg.num_classes + 1, dtype=self.dtype,
                               name="cls_score")(x)
         box_deltas = nn.Dense(4 * (cfg.num_classes + 1), dtype=self.dtype,
