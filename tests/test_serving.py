@@ -87,6 +87,22 @@ def test_w8a8_export_bakes_quant_path(tiny, tmp_path, monkeypatch):
     assert (got.argmax(-1) == ref.argmax(-1)).all()
 
 
+def test_multi_platform_export(tiny, tmp_path):
+    """platforms=['cpu','tpu'] emits one artifact deployable on either
+    backend (lowered from a CPU host — no TPU needed to export).  NB: the
+    compute graph is the trace-time dispatch (plain XLA attention when
+    traced on CPU), so TPU-kernel-optimal artifacts should be exported
+    on-device."""
+    zm, variables = tiny
+    exported = export_classifier(zm, variables, image_size=32,
+                                 batch_sizes=[2], platforms=["cpu", "tpu"])
+    assert exported["manifest"]["platforms"] == ["cpu", "tpu"]
+    save_bundle(str(tmp_path), exported)
+    model = load_bundle(str(tmp_path))
+    logits = model.predict(np.zeros((2, 32, 32, 3), np.uint8))
+    assert logits.shape == (2, 10) and np.isfinite(logits).all()
+
+
 def test_export_cli(tmp_path):
     from vit_torch_tpu.cli.export import main
     out = str(tmp_path / "bundle")
