@@ -103,6 +103,47 @@ def test_multi_platform_export(tiny, tmp_path):
     assert logits.shape == (2, 10) and np.isfinite(logits).all()
 
 
+def test_export_detector_roundtrip(tmp_path):
+    """DETR predict program exports and serves: pytree batch in, dict of
+    scores/labels/boxes out, matching the live trainer predict."""
+    from vit_torch_tpu.detection.detr import DETR, DETRConfig
+    from vit_torch_tpu.detection.engine import DetectionTrainer
+    from vit_torch_tpu.models.swin import SWIN_CONFIGS, SwinTransformer
+    from vit_torch_tpu.serving import export_detector
+
+    size = 32
+    backbone = SwinTransformer(SWIN_CONFIGS["swin_test"], dtype=jnp.float32,
+                               features_only=True, name="backbone")
+    cfg = DETRConfig(num_classes=3, num_queries=8, hidden_dim=32,
+                     num_heads=4, enc_layers=1, dec_layers=1, ffn_dim=64)
+    model = DETR(cfg, backbone, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, size, size, 3)), True)["params"]
+    tr = DetectionTrainer(model, params, image_size=size, num_classes=3,
+                          lr=1e-4, augment=False)
+    exported = export_detector(tr, image_size=size, batch_sizes=[2])
+    assert exported["manifest"]["format"].startswith(
+        "vit_torch_tpu.serving.detection")
+    save_bundle(str(tmp_path), exported)
+    served = load_bundle(str(tmp_path))
+
+    rng = np.random.default_rng(3)
+    batch = {
+        "image": rng.integers(0, 255, (3, size, size, 3), dtype=np.uint8),
+        "scale": np.full((3,), 0.5, np.float32),
+        "pad": np.zeros((3, 2), np.float32),
+    }
+    out = served.predict_tree(batch)    # 3 → chunk(2) + pad(1→2)
+    assert set(out) == {"scores", "labels", "boxes"}
+    assert out["boxes"].shape == (3, 8, 4)
+    live = jax.device_get(tr._predict(
+        tr.params, jax.tree.map(lambda a: a[:2], batch)))
+    np.testing.assert_allclose(out["boxes"][:2], live["boxes"],
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(out["scores"][:2], live["scores"],
+                               atol=1e-5, rtol=1e-4)
+
+
 def test_export_cli(tmp_path):
     from vit_torch_tpu.cli.export import main
     out = str(tmp_path / "bundle")

@@ -74,6 +74,34 @@ class ServingModel:
         logits = self._fns[bs].call(jnp.asarray(images))
         return np.asarray(logits)[:n]
 
+    def predict_tree(self, batch):
+        """Run a pytree-in/pytree-out artifact (detection bundles): every
+        leaf is padded along axis 0 up to the chosen bucket, and every
+        output leaf is sliced back to the request size."""
+        leaves = jax.tree.leaves(batch)
+        if not leaves:
+            raise ValueError("empty batch")
+        n = leaves[0].shape[0]
+        buckets = self.batch_sizes
+        largest = buckets[-1]
+        if n > largest:
+            parts = [self.predict_tree(
+                jax.tree.map(lambda a: a[i:i + largest], batch))
+                for i in range(0, n, largest)]
+            return jax.tree.map(
+                lambda *xs: np.concatenate(xs, axis=0), *parts)
+        bs = next(b for b in buckets if b >= n)
+
+        def pad(a):
+            a = np.asarray(a)
+            if a.shape[0] == bs:
+                return a
+            fill = np.zeros((bs - n,) + a.shape[1:], a.dtype)
+            return np.concatenate([a, fill], axis=0)
+
+        out = self._fns[bs].call(jax.tree.map(pad, batch))
+        return jax.tree.map(lambda a: np.asarray(a)[:n], out)
+
 
 def export_classifier(zoo_model, variables, *, image_size: int,
                       batch_sizes: Sequence[int] = (1, 8, 32),
@@ -119,6 +147,54 @@ def export_classifier(zoo_model, variables, *, image_size: int,
                  "std": list(map(float, norm["std"]))},
         "platforms": list(exports[min(exports)].platforms),
         "activation_dtype": jnp.dtype(dt).name,
+        "w8a8": os.environ.get("VITX_W8A8", "") == "1",
+        "jax_version": jax.__version__,
+    }
+    return {"manifest": manifest, "exports": exports}
+
+
+def export_detector(trainer, *, image_size: int,
+                    batch_sizes: Sequence[int] = (1, 8),
+                    platforms: Optional[Sequence[str]] = None) -> Dict:
+    """Export a detection trainer's predict program (normalize → model →
+    in-graph postprocess) as serving artifacts.
+
+    Works for both engines: ``DetectionTrainer`` (DETR — emits
+    scores/labels/boxes, plus bit-packed masks when ``--masks``) and
+    ``FasterRCNNTrainer`` (emits the padded top-K detection set).  The
+    artifact's calling convention is the eval loader's batch pytree:
+
+        {"image": uint8 (bs, S, S, 3), "scale": f32 (bs,),
+         "pad": f32 (bs, 2)}  →  {str: array}
+
+    Params (and BatchNorm state for R-CNN backbones) are baked in.
+    """
+    params = trainer.params
+    predict = getattr(trainer, "_predict", None)
+    if predict is None:
+        raise ValueError("trainer has no predict program")
+
+    def forward(batch):
+        return predict(params, batch)
+
+    exports = {}
+    for bs in sorted(set(int(b) for b in batch_sizes)):
+        spec = {
+            "image": jax.ShapeDtypeStruct(
+                (bs, image_size, image_size, 3), jnp.uint8),
+            "scale": jax.ShapeDtypeStruct((bs,), jnp.float32),
+            "pad": jax.ShapeDtypeStruct((bs, 2), jnp.float32),
+        }
+        exports[bs] = jax.export.export(
+            jax.jit(forward),
+            platforms=None if platforms is None else list(platforms))(spec)
+    sample = exports[min(exports)]
+    manifest = {
+        "format": "vit_torch_tpu.serving.detection/1",
+        "image_size": int(image_size),
+        "batch_sizes": sorted(exports),
+        "outputs": [str(a) for a in sample.out_avals],
+        "platforms": list(sample.platforms),
         "w8a8": os.environ.get("VITX_W8A8", "") == "1",
         "jax_version": jax.__version__,
     }
