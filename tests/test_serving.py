@@ -144,6 +144,46 @@ def test_export_detector_roundtrip(tmp_path):
                                atol=1e-5, rtol=1e-4)
 
 
+def test_export_detector_frcnn(tmp_path):
+    """FasterRCNN predict (incl. baked BatchNorm state) exports/serves."""
+    from vit_torch_tpu.detection.engine import FasterRCNNTrainer
+    from vit_torch_tpu.detection.faster_rcnn import (
+        FasterRCNN, FasterRCNNConfig)
+    from vit_torch_tpu.models.swin import SWIN_CONFIGS, SwinTransformer
+    from vit_torch_tpu.serving import export_detector
+
+    size = 64
+    backbone = SwinTransformer(SWIN_CONFIGS["swin_test"], dtype=jnp.float32,
+                               multi_features=True, name="backbone")
+    n_stages = len(SWIN_CONFIGS["swin_test"].depths)
+    cfg = FasterRCNNConfig(
+        num_classes=3, image_size=size,
+        strides=tuple(4 * 2 ** i for i in range(n_stages)),
+        anchor_sizes=tuple(8.0 * 2 ** i for i in range(n_stages)),
+        num_proposals=32, rpn_pre_nms_topk=64,
+        rpn_batch=32, roi_batch=16, detections=10)
+    model = FasterRCNN(cfg, backbone, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, size, size, 3)), deterministic=True)
+    tr = FasterRCNNTrainer(model, variables["params"], cfg=cfg, lr=0.01,
+                           augment=False)
+    tr.model_state = {k: v for k, v in variables.items() if k != "params"}
+    exported = export_detector(tr, image_size=size, batch_sizes=[2])
+    save_bundle(str(tmp_path), exported)
+    served = load_bundle(str(tmp_path))
+    rng = np.random.default_rng(4)
+    batch = {
+        "image": rng.integers(0, 255, (2, size, size, 3), dtype=np.uint8),
+        "scale": np.ones((2,), np.float32),
+        "pad": np.zeros((2, 2), np.float32),
+    }
+    out = served.predict_tree(batch)
+    live = jax.device_get(tr._predict(tr.params, batch))
+    assert set(out) == set(live)
+    for k in live:
+        np.testing.assert_allclose(out[k], live[k], atol=1e-4, rtol=1e-4)
+
+
 def test_export_cli(tmp_path):
     from vit_torch_tpu.cli.export import main
     out = str(tmp_path / "bundle")
