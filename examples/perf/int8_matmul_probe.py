@@ -53,12 +53,16 @@ def bench_shape(M: int, K: int, N: int) -> dict:
     wq = jnp.asarray(rng.integers(-127, 127, (K, N)), jnp.int8)
     w_scale = jnp.asarray(rng.uniform(0.01, 0.02, (N,)), jnp.float32)
 
+    # Serialization pattern for every runner: the (M, K) carry is perturbed
+    # by the step's (M, 1) output column (broadcast), so each matmul consumes
+    # the previous one's result — XLA can neither hoist the dot out of the
+    # scan nor DCE it — and the carry shape is K-independent of N (a
+    # y[:, :K] feed-back breaks when K != N, e.g. the fc2 shape).
     @jax.jit
     def run_bf16(x, w):
         def one(c, _):
             y = jnp.dot(c, w, preferred_element_type=jnp.float32)
-            # feed back a same-shape carry so steps serialize
-            return (y[:, :K] * 1e-6).astype(jnp.bfloat16), y[:1, :1]
+            return c + (y[:, :1] * 1e-6).astype(c.dtype), y[:1, :1]
         _, ys = jax.lax.scan(one, x, None, length=STEPS)
         return ys
 
@@ -68,7 +72,8 @@ def bench_shape(M: int, K: int, N: int) -> dict:
             y = jax.lax.dot_general(
                 c, wq, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            return (y[:, :K] & 127).astype(jnp.int8), y[:1, :1]
+            return jnp.bitwise_xor(c, (y[:, :1] & 3).astype(jnp.int8)), \
+                y[:1, :1]
         _, ys = jax.lax.scan(one, xq, None, length=STEPS)
         return ys
 
@@ -83,7 +88,7 @@ def bench_shape(M: int, K: int, N: int) -> dict:
                 cq, wq, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
             y = y.astype(jnp.float32) * scale * w_scale
-            return (y[:, :K] * 1e-6).astype(jnp.bfloat16), y[:1, :1]
+            return c + (y[:, :1] * 1e-6).astype(c.dtype), y[:1, :1]
         _, ys = jax.lax.scan(one, x, None, length=STEPS)
         return ys
 

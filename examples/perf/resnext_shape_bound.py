@@ -34,37 +34,42 @@ REPS = 30
 B = 32
 
 
-def timed_tflops(fn, flops, *args):
-    @jax.jit
-    def run(*a):
-        def step(acc, _):
-            o = fn(*a)
-            return acc + o.reshape(-1)[0].astype(jnp.float32), None
-        acc, _ = jax.lax.scan(step, jnp.float32(0), None, length=REPS)
-        return acc
-    float(run(*args))
-    t0 = time.perf_counter()
-    float(run(*args))
-    dt = (time.perf_counter() - t0) / REPS
-    return flops / dt / 1e12
-
-
-def conv_thunk(hw_in, cin, cout, k, stride, groups):
+def timed_conv_tflops(hw_in, cin, cout, k, stride, groups, flops):
+    """TF/s of the conv via a REPS-long scan whose carry is the conv INPUT
+    perturbed by each step's output (broadcast (B,1,1,1) add): every step
+    consumes the previous step's result, so XLA can neither hoist the
+    loop-invariant conv out of the scan nor DCE it (a plain
+    `acc + o[0]` body compiles to ZERO convolutions — verified)."""
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(0, 1, (B, hw_in, hw_in, cin)), jnp.bfloat16)
     w = jnp.asarray(rng.normal(0, 0.05, (k, k, cin // groups, cout)),
                     jnp.bfloat16)
 
-    def f():
-        return jax.lax.conv_general_dilated(
-            x, w, (stride, stride), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=groups,
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    @jax.jit
+    def run(x, w):
+        def step(c, _):
+            o = jax.lax.conv_general_dilated(
+                c, w, (stride, stride), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups,
+                preferred_element_type=jnp.float32)
+            c = c + (o[:, :1, :1, :1] * 1e-6).astype(c.dtype)
+            return c, o.reshape(-1)[0]
+        _, ys = jax.lax.scan(step, x, None, length=REPS)
+        return ys
+
+    float(run(x, w)[-1])                   # compile + warm, D2H fence
+    t0 = time.perf_counter()
+    float(run(x, w)[-1])
+    dt = (time.perf_counter() - t0) / REPS
+    return flops / dt / 1e12
+
+
+def conv_cost(hw_in, cin, cout, k, stride, groups):
     hw_out = hw_in // stride
     flops = 2 * B * hw_out * hw_out * cout * (cin // groups) * k * k
     hbm = 2 * (B * hw_in * hw_in * cin + B * hw_out * hw_out * cout)
-    return f, flops, hbm
+    return flops, hbm
 
 
 # (name, count_in_network, hw_in, cin, cout, k, stride, groups) for
@@ -99,8 +104,8 @@ def main():
     grouped_flops = grouped_time = 0.0
     report = {}
     for name, count, hw, cin, cout, k, stride, groups in network_convs():
-        f, flops, hbm = conv_thunk(hw, cin, cout, k, stride, groups)
-        tfs = timed_tflops(lambda: f(), flops)
+        flops, hbm = conv_cost(hw, cin, cout, k, stride, groups)
+        tfs = timed_conv_tflops(hw, cin, cout, k, stride, groups, flops)
         hbm_bound = flops / (hbm / (HBM_GBPS * 1e9)) / 1e12
         total_flops += count * flops
         total_time += count * flops / (tfs * 1e12)

@@ -177,15 +177,17 @@ class Mlp(nn.Module):
         for d in x.shape[:-1]:
             T *= d
         dropout_active = self.dropout > 0.0 and not deterministic
+        if _use_w8a8(deterministic):
+            # int8 serving path — takes precedence over the opt-in fused
+            # kernel, matching Attention's dispatch order
+            from vit_torch_tpu.ops.quant import w8a8_dot
+            x = self.act(w8a8_dot(x.astype(dt), w1, b1))
+            return w8a8_dot(x, w2, b2)
         if (self.act is gelu_exact and not dropout_active
                 and _use_fused_mlp(T, C, self.hidden_dim, out_dim)):
             from vit_torch_tpu.ops.fused_mlp import fused_mlp
             return fused_mlp(x, w1.astype(dt), b1.astype(dt),
                              w2.astype(dt), b2.astype(dt))
-        if _use_w8a8(deterministic):
-            from vit_torch_tpu.ops.quant import w8a8_dot
-            x = self.act(w8a8_dot(x.astype(dt), w1, b1))
-            return w8a8_dot(x, w2, b2)
         x = jnp.dot(x, w1.astype(dt)) + b1.astype(dt)
         x = self.act(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)

@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vit_torch_tpu.ops.quant import w8a8_enabled
+
 _MANIFEST = "manifest.json"
 
 
@@ -147,7 +149,7 @@ def export_classifier(zoo_model, variables, *, image_size: int,
                  "std": list(map(float, norm["std"]))},
         "platforms": list(exports[min(exports)].platforms),
         "activation_dtype": jnp.dtype(dt).name,
-        "w8a8": os.environ.get("VITX_W8A8", "") == "1",
+        "w8a8": w8a8_enabled(),
         "jax_version": jax.__version__,
     }
     return {"manifest": manifest, "exports": exports}
@@ -195,7 +197,7 @@ def export_detector(trainer, *, image_size: int,
         "batch_sizes": sorted(exports),
         "outputs": [str(a) for a in sample.out_avals],
         "platforms": list(sample.platforms),
-        "w8a8": os.environ.get("VITX_W8A8", "") == "1",
+        "w8a8": w8a8_enabled(),
         "jax_version": jax.__version__,
     }
     return {"manifest": manifest, "exports": exports}
