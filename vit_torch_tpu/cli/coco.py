@@ -113,6 +113,12 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="data-parallel device mesh spec, e.g. 'data=8' or ''"
                         " = single device (detection DP: params replicated,"
                         " batch sharded, GSPMD gradient all-reduce)")
+    p.add_argument("--export_bundle", default="", type=str,
+                   help="after training, export the predict program as a "
+                        "serving bundle (StableHLO) to this directory")
+    p.add_argument("--export_bs", default="1,8", type=str,
+                   help="comma-separated batch-size buckets for "
+                        "--export_bundle")
     p.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
@@ -432,6 +438,17 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         if args.ckpt_dir:
             from vit_torch_tpu.checkpoint.orbax_io import save_checkpoint
             save_checkpoint(args.ckpt_dir, _ckpt_state(), epoch)
+
+    if args.export_bundle:
+        # ship the trained predict program as a serving bundle
+        # (serving/export.py; weights + BN state baked, in-graph postprocess)
+        from vit_torch_tpu.serving import export_detector, save_bundle
+        exported = export_detector(
+            trainer, image_size=args.image_size,
+            batch_sizes=[int(b) for b in args.export_bs.split(",") if b])
+        save_bundle(args.export_bundle, exported)
+        record["export_bundle"] = exported["manifest"]
+        print("serving bundle saved to", args.export_bundle)
 
     record["telem"]["completed"] = True
     save()
