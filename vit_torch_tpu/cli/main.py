@@ -117,6 +117,17 @@ def main(argv: Optional[Sequence[str]] = None) -> Stats:
     else:
         trainer.fit(data.loaders)
     print("\nresults:", json.dumps(stats.update_results(), indent=2))
+    if args["export_bundle"]:
+        # ship the trained classifier as a serving bundle (weights +
+        # in-graph normalization baked into StableHLO — serving/export.py)
+        from vit_torch_tpu.serving import export_classifier, save_bundle
+        exported = export_classifier(
+            zoo_model, jax.device_get(trainer.state.variables()),
+            image_size=data.image_size,
+            batch_sizes=[int(b) for b in args["export_bs"].split(",") if b],
+            norm=data.norm_values)
+        save_bundle(args["export_bundle"], exported)
+        print("serving bundle saved to", args["export_bundle"])
     if args["stats_fp"]:
         print("stats saved to", args["stats_fp"])
     return stats

@@ -167,6 +167,11 @@ def classification_config(stamp: Optional[str] = None) -> List[Tuple]:
          "device-side AutoAugment policy ('' disables)"),
         # --- net-new (no reference equivalent): checkpointing / resume / precision ---
         ("ckpt_dir", "", str, None, "orbax checkpoint directory ('' disables saving)"),
+        ("export_bundle", "", str, None,
+         "after training, export the eval forward as a serving bundle "
+         "(StableHLO) to this directory"),
+        ("export_bs", "1,8,32", str, None,
+         "comma-separated batch-size buckets for --export_bundle"),
         ("resume", "", str, None, "checkpoint path to resume training from"),
         ("save_every", 0, int, None, "save a checkpoint every N epochs (0 = only best)"),
         ("dtype", "bfloat16", str, ["bfloat16", "float32"], "compute dtype"),
