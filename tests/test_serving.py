@@ -87,6 +87,26 @@ def test_w8a8_export_bakes_quant_path(tiny, tmp_path, monkeypatch):
     assert (got.argmax(-1) == ref.argmax(-1)).all()
 
 
+def test_param_dtype_bf16_halves_artifact(tiny, tmp_path):
+    zm, variables = tiny
+    full = export_classifier(zm, variables, image_size=32, batch_sizes=[2])
+    half = export_classifier(zm, variables, image_size=32, batch_sizes=[2],
+                             param_dtype="bfloat16")
+    assert half["manifest"]["param_dtype"] == "bfloat16"
+    b_full = len(full["exports"][2].serialize())
+    b_half = len(half["exports"][2].serialize())
+    assert b_half < 0.65 * b_full, (b_half, b_full)
+    save_bundle(str(tmp_path), half)
+    model = load_bundle(str(tmp_path))
+    rng = np.random.default_rng(5)
+    images = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    got = model.predict(images)
+    ref = np.asarray(full["exports"][2].call(jnp.asarray(images)))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.05, rel
+    assert (got.argmax(-1) == ref.argmax(-1)).all()
+
+
 def test_multi_platform_export(tiny, tmp_path):
     """platforms=['cpu','tpu'] emits one artifact deployable on either
     backend (lowered from a CPU host — no TPU needed to export).  NB: the

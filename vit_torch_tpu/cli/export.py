@@ -44,6 +44,10 @@ def main(argv=None) -> None:
                         "(default: trace-time backend)")
     p.add_argument("--w8a8", action="store_true",
                    help="bake the dynamic-int8 serving path into the export")
+    p.add_argument("--param_dtype", default=None,
+                   choices=[None, "bfloat16", "float32"],
+                   help="cast baked params before export "
+                        "(bfloat16 halves artifact size)")
     p.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--out", required=True, help="bundle output directory")
     args = p.parse_args(argv)
@@ -74,7 +78,8 @@ def main(argv=None) -> None:
         zm, variables, image_size=args.image_size,
         batch_sizes=[int(b) for b in args.bs.split(",") if b],
         norm=NORM_VALUES[args.dataset],
-        platforms=None if not args.platforms else args.platforms.split(","))
+        platforms=None if not args.platforms else args.platforms.split(","),
+        param_dtype=args.param_dtype)
     save_bundle(args.out, exported)
     sizes = {f: os.path.getsize(os.path.join(args.out, f))
              for f in sorted(os.listdir(args.out))}

@@ -108,7 +108,8 @@ class ServingModel:
 def export_classifier(zoo_model, variables, *, image_size: int,
                       batch_sizes: Sequence[int] = (1, 8, 32),
                       norm: Optional[Dict[str, Sequence[float]]] = None,
-                      platforms: Optional[Sequence[str]] = None) -> Dict:
+                      platforms: Optional[Sequence[str]] = None,
+                      param_dtype: Optional[str] = None) -> Dict:
     """Export a zoo classifier's eval forward for each batch size.
 
     ``norm`` is ``{"mean": (3,), "std": (3,)}`` in 0-1 units (a
@@ -117,9 +118,20 @@ def export_classifier(zoo_model, variables, *, image_size: int,
     ``jax.export.export`` (e.g. ``["cpu", "tpu"]`` for a multi-platform
     artifact); default is the trace-time backend.
 
+    ``param_dtype="bfloat16"`` casts the baked parameters before export,
+    halving every artifact (each batch-size bucket embeds a full param
+    copy — ~344 MB fp32 for ViT-B).  Matmul weights are cast to the
+    activation dtype in-graph anyway; the (small) eval difference comes
+    from LayerNorm/bias params that normally stay fp32.
+
     Returns ``{"manifest": dict, "exports": {bs: Exported}}``.
     """
     norm = norm or {"mean": (0.0, 0.0, 0.0), "std": (1.0, 1.0, 1.0)}
+    if param_dtype:
+        cast = jnp.dtype(param_dtype)
+        variables = jax.tree.map(
+            lambda a: a.astype(cast)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, variables)
     dt = getattr(zoo_model.model.backbone, "dtype", jnp.bfloat16)
     mean = jnp.asarray(norm["mean"], dt)
     std = jnp.asarray(norm["std"], dt)
@@ -149,6 +161,7 @@ def export_classifier(zoo_model, variables, *, image_size: int,
                  "std": list(map(float, norm["std"]))},
         "platforms": list(exports[min(exports)].platforms),
         "activation_dtype": jnp.dtype(dt).name,
+        "param_dtype": str(param_dtype) if param_dtype else "float32",
         "w8a8": w8a8_enabled(),
         "jax_version": jax.__version__,
     }
