@@ -183,7 +183,62 @@ def bench_config(cfg: dict) -> dict:
     return out
 
 
+def _tunnel_ok(timeout_s: float = 180.0) -> bool:
+    """Probe the (possibly tunneled) device with a trivial dispatch in a
+    daemon thread.  A wedged axon tunnel hangs dispatches indefinitely —
+    without this guard a dead tunnel would hang the whole bench instead
+    of failing fast."""
+    import threading
+    done = threading.Event()
+
+    def probe():
+        try:
+            float((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum())
+            done.set()
+        except Exception:
+            pass
+
+    threading.Thread(target=probe, daemon=True).start()
+    return done.wait(timeout_s)
+
+
+def _stale_fallback() -> None:
+    """Print the newest recorded bench line, unambiguously labeled STALE.
+    Keeps the artifact informative when the device is unreachable."""
+    import glob
+    import os
+    best = None
+    for path in sorted(glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed")
+            if parsed and "value" in parsed:
+                best = (path, parsed)
+        except Exception:
+            continue
+    if best is None:
+        print(json.dumps({"metric": "bench unavailable", "value": 0,
+                          "unit": "img/s", "vs_baseline": 0,
+                          "extra": {"error": "TPU tunnel unresponsive and "
+                                             "no prior bench record found"}}))
+        return
+    path, parsed = best
+    parsed = dict(parsed)
+    parsed["metric"] = (f"STALE (tunnel down at bench time — value is the "
+                        f"prior on-chip record from {os.path.basename(path)},"
+                        f" NOT a fresh run): {parsed.get('metric', '')}")
+    extra = dict(parsed.get("extra") or {})
+    extra["stale"] = True
+    parsed["extra"] = extra
+    print(json.dumps(parsed))
+
+
 def main():
+    if not _tunnel_ok():
+        _stale_fallback()
+        return
     results = [bench_config(c) for c in CONFIGS]
     headline = results[0]
     print(json.dumps({
