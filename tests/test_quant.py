@@ -204,6 +204,28 @@ def test_frcnn_box_head_w8a8_parity(monkeypatch):
                                   np.asarray(t_p["cls_logits"]))
 
 
+def test_w8a8_under_dp_mesh(monkeypatch):
+    """Multi-chip serving: the int8 forward GSPMD-shards over a data mesh
+    and matches the single-device int8 forward (per-token scales make
+    every sample independent, so sharding must be exact)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from vit_torch_tpu.models import VisionModelZoo
+    zm = VisionModelZoo.get_model("vit_tiny_test", classifier=[10],
+                                  image_size=32, dtype=jnp.float32)
+    variables = zm.init(jax.random.PRNGKey(0), image_size=32)
+    x = jnp.asarray(np.random.default_rng(11).normal(0, 1, (8, 32, 32, 3)),
+                    jnp.float32)
+    monkeypatch.setenv("VITX_W8A8", "1")
+    ref = np.asarray(zm.model.apply(variables, x, True))
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    vs = jax.device_put(variables, NamedSharding(mesh, P()))
+    fwd = jax.jit(lambda v, a: zm.model.apply(v, a, True),
+                  out_shardings=NamedSharding(mesh, P("data")))
+    got = np.asarray(fwd(vs, xs))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+
 def test_vit_logits_agreement(monkeypatch):
     """Whole tiny-ViT forward: int8 logits track bf16-path logits closely
     enough to preserve the prediction (top-1 agreement)."""
