@@ -204,6 +204,28 @@ def test_export_detector_frcnn(tmp_path):
         np.testing.assert_allclose(out[k], live[k], atol=1e-4, rtol=1e-4)
 
 
+def test_letterbox_images_matches_training_loader():
+    """Serving-side letterbox must reproduce the training loader's
+    geometry bit-for-bit (same letterbox_params, pad value, resize)."""
+    from PIL import Image
+    from vit_torch_tpu.detection.coco_data import letterbox_params
+    from vit_torch_tpu.serving import letterbox_images
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 255, (37, 81, 3), dtype=np.uint8)
+    S = 64
+    batch = letterbox_images([img, img[:20, :20]], S)
+    assert batch["image"].shape == (2, S, S, 3)
+    scale, pad_x, pad_y, nh, nw = letterbox_params(37, 81, S)
+    assert batch["scale"][0] == np.float32(scale)
+    assert tuple(batch["pad"][0]) == (pad_x, pad_y)
+    resized = np.asarray(Image.fromarray(img).resize((nw, nh),
+                                                     Image.BILINEAR))
+    np.testing.assert_array_equal(
+        batch["image"][0, pad_y:pad_y + nh, pad_x:pad_x + nw], resized)
+    # padding value matches the loader's 114-gray canvas
+    assert batch["image"][0, 0, 0, 0] == 114
+
+
 def test_export_cli(tmp_path):
     from vit_torch_tpu.cli.export import main
     out = str(tmp_path / "bundle")

@@ -105,6 +105,39 @@ class ServingModel:
         return jax.tree.map(lambda a: np.asarray(a)[:n], out)
 
 
+def letterbox_images(images: Sequence[np.ndarray], image_size: int) -> Dict:
+    """Host-side half of the detection serving contract: uint8 HWC images
+    of ANY size → the artifact's fixed-shape batch pytree.
+
+    Mirrors the training loader exactly (``detection/coco_data.py``:
+    aspect-preserving bilinear resize, centered 114-gray padding —
+    asserted by a parity test against ``letterbox_params``) so serving
+    preprocessing matches what the model saw in training; the artifact's
+    in-graph postprocess uses scale/pad to map boxes back to each
+    original frame.
+    """
+    from PIL import Image
+
+    from vit_torch_tpu.detection.coco_data import letterbox_params
+
+    S = int(image_size)
+    batch = {"image": np.full((len(images), S, S, 3), 114, np.uint8),
+             "scale": np.zeros((len(images),), np.float32),
+             "pad": np.zeros((len(images), 2), np.float32)}
+    for i, img in enumerate(images):
+        img = np.asarray(img)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        h, w = img.shape[:2]
+        scale, pad_x, pad_y, nh, nw = letterbox_params(h, w, S)
+        resized = np.asarray(Image.fromarray(img.astype(np.uint8)).resize(
+            (nw, nh), Image.BILINEAR), np.uint8)
+        batch["image"][i, pad_y:pad_y + nh, pad_x:pad_x + nw] = resized
+        batch["scale"][i] = scale
+        batch["pad"][i] = (pad_x, pad_y)
+    return batch
+
+
 def export_classifier(zoo_model, variables, *, image_size: int,
                       batch_sizes: Sequence[int] = (1, 8, 32),
                       norm: Optional[Dict[str, Sequence[float]]] = None,
