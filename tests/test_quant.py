@@ -226,11 +226,14 @@ def test_w8a8_under_dp_mesh(monkeypatch):
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
 
 
-def test_vit_logits_agreement(monkeypatch):
-    """Whole tiny-ViT forward: int8 logits track bf16-path logits closely
-    enough to preserve the prediction (top-1 agreement)."""
+@pytest.mark.parametrize("arch", ["vit_tiny_test", "xcit_test", "cait_test"])
+def test_vit_logits_agreement(monkeypatch, arch):
+    """Whole tiny-model forward per family: int8 logits track bf16-path
+    logits closely enough to preserve the prediction (top-1 agreement).
+    vit covers Attention+Mlp, xcit covers the quantized XCA projections,
+    cait covers Mlp-only quant under talking-heads attention."""
     from vit_torch_tpu.models import VisionModelZoo
-    zm = VisionModelZoo.get_model("vit_tiny_test", classifier=[10],
+    zm = VisionModelZoo.get_model(arch, classifier=[10],
                                   image_size=32, dtype=jnp.float32)
     variables = zm.init(jax.random.PRNGKey(0), image_size=32)
     x = jnp.asarray(np.random.default_rng(8).normal(0, 1, (8, 32, 32, 3)),

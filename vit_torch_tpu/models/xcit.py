@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_torch_tpu.models.layers import (
-    Dtype, LayerNorm, Mlp, gelu_exact, trunc_normal_init,
+    Dtype, LayerNorm, Mlp, QDense, _use_w8a8, gelu_exact, trunc_normal_init,
 )
 
 
@@ -196,8 +196,10 @@ class XCA(nn.Module):
         d = C // H
         temperature = self.param("temperature", nn.initializers.ones,
                                  (H, 1, 1), jnp.float32)
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
-                       kernel_init=trunc_normal_init, name="qkv")(x)
+        quant = _use_w8a8(deterministic)   # int8 serving path
+        qkv = QDense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                     kernel_init=trunc_normal_init, quant=quant,
+                     name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, d)
         # transpose to channel-major: (B, H, d, N)
         q = qkv[:, :, 0].transpose(0, 2, 3, 1)
@@ -212,8 +214,8 @@ class XCA(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhde,bhen->bhdn", attn, v.astype(self.dtype))
         out = out.transpose(0, 3, 1, 2).reshape(B, N, C)
-        return nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_init,
-                        name="proj")(out)
+        return QDense(C, dtype=self.dtype, kernel_init=trunc_normal_init,
+                      quant=quant, name="proj")(out)
 
 
 class XCABlock(nn.Module):
