@@ -164,6 +164,40 @@ def test_export_detector_roundtrip(tmp_path):
                                atol=1e-5, rtol=1e-4)
 
 
+def test_export_detector_with_masks(tmp_path):
+    """--masks bundles carry the bit-packed mask output end-to-end."""
+    from vit_torch_tpu.detection.detr import DETRConfig
+    from vit_torch_tpu.detection.engine import DetectionTrainer
+    from vit_torch_tpu.detection.segmentation import DETRSegm
+    from vit_torch_tpu.models.swin import SwinConfig, SwinTransformer
+    from vit_torch_tpu.serving import export_detector, letterbox_images
+
+    size = 32
+    scfg = SwinConfig(embed_dim=16, depths=(1, 1, 1), num_heads=(2, 2, 4),
+                      window_size=4, drop_path_rate=0.0)
+    backbone = SwinTransformer(scfg, dtype=jnp.float32, multi_features=True,
+                               name="backbone")
+    dcfg = DETRConfig(num_classes=3, num_queries=6, hidden_dim=32,
+                      enc_layers=1, dec_layers=1, ffn_dim=64)
+    model = DETRSegm(dcfg, backbone, num_mask_heads=4, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, size, size, 3)), True)["params"]
+    tr = DetectionTrainer(model, params, image_size=size, num_classes=3,
+                          lr=1e-4, masks=True, augment=False)
+    exported = export_detector(tr, image_size=size, batch_sizes=[2])
+    save_bundle(str(tmp_path), exported)
+    served = load_bundle(str(tmp_path))
+    rng = np.random.default_rng(7)
+    batch = letterbox_images(
+        [rng.integers(0, 255, (24, 40, 3), dtype=np.uint8),
+         rng.integers(0, 255, (50, 18, 3), dtype=np.uint8)], size)
+    out = served.predict_tree(batch)
+    assert "masks_packed" in out
+    assert out["masks_packed"].dtype == np.uint8
+    assert out["masks_packed"].shape[:2] == (2, 6)
+    assert out["boxes"].shape == (2, 6, 4)
+
+
 def test_export_detector_frcnn(tmp_path):
     """FasterRCNN predict (incl. baked BatchNorm state) exports/serves."""
     from vit_torch_tpu.detection.engine import FasterRCNNTrainer
