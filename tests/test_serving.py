@@ -65,6 +65,8 @@ def test_predict_bucketing(tiny, tmp_path):
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
     with pytest.raises(ValueError):
         model.predict(images[0])             # not NHWC
+    with pytest.raises(ValueError, match="exported for 32x32"):
+        model.predict(np.zeros((2, 48, 48, 3), np.uint8))   # wrong size
 
 
 def test_w8a8_export_bakes_quant_path(tiny, tmp_path, monkeypatch):

@@ -62,6 +62,7 @@ class ServingModel:
         """
         if images.ndim != 4 or images.shape[-1] != 3:
             raise ValueError(f"expected (bs, H, W, 3) uint8, got {images.shape}")
+        self._check_image_size(images.shape[1:3])
         n = images.shape[0]
         buckets = self.batch_sizes
         largest = buckets[-1]
@@ -76,6 +77,15 @@ class ServingModel:
         logits = self._fns[bs].call(jnp.asarray(images))
         return np.asarray(logits)[:n]
 
+    def _check_image_size(self, hw) -> None:
+        S = self.manifest.get("image_size")
+        if S and tuple(hw) != (S, S):
+            raise ValueError(
+                f"this bundle was exported for {S}x{S} inputs, got "
+                f"{hw[0]}x{hw[1]} — preprocess with "
+                f"serving.letterbox_images (detection) or "
+                f"serving.resize_images (classification) first")
+
     def predict_tree(self, batch):
         """Run a pytree-in/pytree-out artifact (detection bundles): every
         leaf is padded along axis 0 up to the chosen bucket, and every
@@ -83,6 +93,8 @@ class ServingModel:
         leaves = jax.tree.leaves(batch)
         if not leaves:
             raise ValueError("empty batch")
+        if isinstance(batch, dict) and "image" in batch:
+            self._check_image_size(np.asarray(batch["image"]).shape[1:3])
         n = leaves[0].shape[0]
         buckets = self.batch_sizes
         largest = buckets[-1]
