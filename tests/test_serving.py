@@ -89,6 +89,68 @@ def test_w8a8_export_bakes_quant_path(tiny, tmp_path, monkeypatch):
     assert (got.argmax(-1) == ref.argmax(-1)).all()
 
 
+def test_w8a8_prequant_bakes_int8_constants(tiny, tmp_path, monkeypatch):
+    """Under VITX_W8A8=1 the default export prequantizes host-side: the
+    artifact bakes int8 weights + scales instead of fp32 kernels + an
+    in-graph quantize sweep — smaller AND numerically identical to the
+    dynamic-quantize export (same (w_q, scale) by construction)."""
+    zm, variables = tiny
+    monkeypatch.setenv("VITX_W8A8", "1")
+    pre = export_classifier(zm, variables, image_size=32, batch_sizes=[2])
+    dyn = export_classifier(zm, variables, image_size=32, batch_sizes=[2],
+                            prequant=False)
+    assert pre["manifest"]["w8a8_prequant"] is True
+    assert dyn["manifest"]["w8a8_prequant"] is False
+    nb_pre = len(pre["exports"][2].serialize())
+    nb_dyn = len(dyn["exports"][2].serialize())
+    assert nb_pre < 0.6 * nb_dyn, (nb_pre, nb_dyn)
+
+    save_bundle(str(tmp_path), pre)
+    monkeypatch.setenv("VITX_W8A8", "")      # artifact must not care
+    served = load_bundle(str(tmp_path))
+    rng = np.random.default_rng(5)
+    images = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    got = served.predict(images)
+    ref = np.asarray(dyn["exports"][2].call(jnp.asarray(images)), np.float32)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_w8a8_prequant_detector(tmp_path, monkeypatch):
+    """Detection bundles prequantize the QDense weights (DETR transformer)
+    the same way and still match the live dynamic-w8a8 predict."""
+    from vit_torch_tpu.detection.detr import DETR, DETRConfig
+    from vit_torch_tpu.detection.engine import DetectionTrainer
+    from vit_torch_tpu.models.swin import SWIN_CONFIGS, SwinTransformer
+    from vit_torch_tpu.serving import export_detector
+
+    size = 32
+    backbone = SwinTransformer(SWIN_CONFIGS["swin_test"], dtype=jnp.float32,
+                               features_only=True, name="backbone")
+    cfg = DETRConfig(num_classes=3, num_queries=8, hidden_dim=32,
+                     num_heads=4, enc_layers=1, dec_layers=1, ffn_dim=64)
+    model = DETR(cfg, backbone, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, size, size, 3)), True)["params"]
+    tr = DetectionTrainer(model, params, image_size=size, num_classes=3,
+                          lr=1e-4, augment=False)
+    monkeypatch.setenv("VITX_W8A8", "1")
+    exported = export_detector(tr, image_size=size, batch_sizes=[2])
+    assert exported["manifest"]["w8a8_prequant"] is True
+    save_bundle(str(tmp_path), exported)
+    batch = {
+        "image": np.random.default_rng(6).integers(
+            0, 255, (2, size, size, 3), dtype=np.uint8),
+        "scale": np.ones((2,), np.float32),
+        "pad": np.zeros((2, 2), np.float32),
+    }
+    live = jax.device_get(tr._predict(tr.params, batch))  # dynamic w8a8
+    monkeypatch.setenv("VITX_W8A8", "")
+    served = load_bundle(str(tmp_path))
+    out = served.predict_tree(batch)
+    for k in live:
+        np.testing.assert_allclose(out[k], live[k], atol=1e-5, rtol=1e-4)
+
+
 def test_param_dtype_bf16_halves_artifact(tiny, tmp_path):
     zm, variables = tiny
     full = export_classifier(zm, variables, image_size=32, batch_sizes=[2])

@@ -348,10 +348,12 @@ class DetectionTrainer:
                 body, (params, opt_state, rng), batches)
             return params, opt_state, logs, rng
 
-        @jax.jit
-        def predict(params, batch):
+        def predict_vars(variables, batch):
+            """Predict from a full flax variables dict — the serving
+            export's entry (``serving/export.py``): it merges the
+            prequantized ``int8`` collection in next to the params."""
             images = normalize(jnp.asarray(batch["image"]), **norm)
-            outputs = model.apply({"params": params}, images, True)
+            outputs = model.apply(variables, images, True)
             preds = postprocess(outputs, image_size,
                                 jnp.asarray(batch["scale"]),
                                 jnp.asarray(batch["pad"]))
@@ -366,11 +368,16 @@ class DetectionTrainer:
                     postprocess_segm(outputs["pred_masks"], image_size))
             return preds
 
+        @jax.jit
+        def predict(params, batch):
+            return predict_vars({"params": params}, batch)
+
         self._forward_costs = forward_costs
         self._train_step = train_step
         self._train_step_fused = train_step_fused
         self._train_chunk = train_chunk
         self._predict = predict
+        self._predict_vars = predict_vars
 
     def set_lr(self, lr: float) -> None:
         # inject_hyperparams state lives inside the chain at index 1
@@ -692,14 +699,19 @@ class FasterRCNNTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, losses, new_ms
 
-        @jax.jit
-        def predict(params, batch, model_state):
+        def predict_vars(variables, batch):
+            """Predict from a full flax variables dict (params + BN state
+            + optionally the serving export's prequantized ``int8``
+            collection — ``serving/export.py``)."""
             images = normalize(jnp.asarray(batch["image"]), **norm)
-            outputs = model.apply({"params": params, **model_state}, images,
-                                  deterministic=True)
+            outputs = model.apply(variables, images, deterministic=True)
             return faster_rcnn_predict(outputs, cfg,
                                        jnp.asarray(batch["scale"]),
                                        jnp.asarray(batch["pad"]))
+
+        @jax.jit
+        def predict(params, batch, model_state):
+            return predict_vars({"params": params, **model_state}, batch)
 
         @jax.jit
         def train_chunk(params, opt_state, batches, rng, model_state):
@@ -722,6 +734,7 @@ class FasterRCNNTrainer:
         self._train_step = train_step
         self._train_chunk = train_chunk
         self._predict_fn = predict
+        self._predict_vars = predict_vars
         self.model_state: Dict = {}
 
     def set_lr(self, lr: float) -> None:

@@ -100,7 +100,8 @@ class QDense(nn.Module):
             from vit_torch_tpu.ops.quant import w8a8_enabled
             if w8a8_enabled():
                 from vit_torch_tpu.ops.quant import w8a8_dot
-                return w8a8_dot(x.astype(dt), kernel, bias)
+                return w8a8_dot(x.astype(dt), kernel, bias,
+                                pre=_prequant_kernel(self, "kernel", kernel))
         y = jnp.dot(x.astype(dt), kernel.astype(dt))
         if bias is not None:
             y = y + bias.astype(dt)
@@ -127,6 +128,29 @@ class DropPath(nn.Module):
             return x
         rng = self.make_rng("dropout")
         return drop_path(x, self.rate, deterministic, rng)
+
+
+def _prequant_kernel(mod: nn.Module, name: str, kernel):
+    """Prequantized ``(w_q, w_scale)`` for a w8a8-consumed kernel, or None.
+
+    Serving bundles bake matmul weights as int8 constants
+    (``serving/export.py``): an eager ``ops.quant.prequant_capture`` pass
+    creates an ``int8`` variable collection by quantizing each consumed
+    kernel once outside any trace; the export trace then reads the
+    concrete values here, so jax.export bakes ``w_q``/``w_scale`` — not
+    the fp32 kernel plus quantize ops — into the artifact.  On the normal
+    dynamic path (no ``int8`` collection) this returns None and the
+    weight quantizes in-graph.
+    """
+    from vit_torch_tpu.ops import quant
+    name = name + "_q8"   # flax scopes require names unique across
+    # collections AND submodules ("qkv"/"kernel" are taken)
+    if quant.prequant_capturing():
+        return mod.variable(
+            "int8", name, lambda: quant.quantize_weight(kernel)).value
+    if mod.has_variable("int8", name):
+        return mod.variable("int8", name).value
+    return None
 
 
 def _use_w8a8(deterministic: bool) -> bool:
@@ -181,8 +205,10 @@ class Mlp(nn.Module):
             # int8 serving path — takes precedence over the opt-in fused
             # kernel, matching Attention's dispatch order
             from vit_torch_tpu.ops.quant import w8a8_dot
-            x = self.act(w8a8_dot(x.astype(dt), w1, b1))
-            return w8a8_dot(x, w2, b2)
+            x = self.act(w8a8_dot(x.astype(dt), w1, b1,
+                                  pre=_prequant_kernel(self, "fc1", w1)))
+            return w8a8_dot(x, w2, b2,
+                            pre=_prequant_kernel(self, "fc2", w2))
         if (self.act is gelu_exact and not dropout_active
                 and _use_fused_mlp(T, C, self.hidden_dim, out_dim)):
             from vit_torch_tpu.ops.fused_mlp import fused_mlp
@@ -263,28 +289,38 @@ class Attention(nn.Module):
             # is kept — XLA folds the post-dot head transpose into the
             # rescale epilogue the same way it folds it into the einsum's.
             from vit_torch_tpu.ops.quant import w8a8_dot
+            # prequant lookup happens before the layout branch so export
+            # capture and the serve trace agree on the kernel set even if
+            # they pick different attention layouts (CPU capture vs TPU
+            # serve); per-output-channel (w_q, scale) slice per-head the
+            # same way the fp32 kernel does
+            pre_qkv = _prequant_kernel(self, "qkv", w_qkv)
+            pre_proj = _prequant_kernel(self, "proj", w_proj)
             if _attn_bhnd_layout(x, H):
                 from vit_torch_tpu.ops.flash_attention import (
                     flash_attention_bhnd)
                 w3 = w_qkv.reshape(C, 3, C)
                 b3 = (None, None, None) if b_qkv is None \
                     else b_qkv.reshape(3, C)
+                pre3 = (None,) * 3 if pre_qkv is None else tuple(
+                    (pre_qkv[0].reshape(C, 3, C)[:, i],
+                     pre_qkv[1].reshape(3, C)[i]) for i in range(3))
 
                 def heads(y):
                     return y.reshape(B, N, H, head_dim).transpose(0, 2, 1, 3)
 
-                qh = heads(w8a8_dot(x, w3[:, 0], b3[0]))
-                kh = heads(w8a8_dot(x, w3[:, 1], b3[1]))
-                vh = heads(w8a8_dot(x, w3[:, 2], b3[2]))
+                qh = heads(w8a8_dot(x, w3[:, 0], b3[0], pre=pre3[0]))
+                kh = heads(w8a8_dot(x, w3[:, 1], b3[1], pre=pre3[1]))
+                vh = heads(w8a8_dot(x, w3[:, 2], b3[2], pre=pre3[2]))
                 out = flash_attention_bhnd(qh, kh, vh, scale=scale)
                 out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
             else:
-                qkv = w8a8_dot(x, w_qkv, b_qkv)
+                qkv = w8a8_dot(x, w_qkv, b_qkv, pre=pre_qkv)
                 qkv = qkv.reshape(B, N, 3, H, head_dim)
                 out = dot_product_attention(
                     qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], scale=scale)
                 out = out.reshape(B, N, C)
-            out = w8a8_dot(out, w_proj, b_proj)
+            out = w8a8_dot(out, w_proj, b_proj, pre=pre_proj)
         elif _attn_fused_block(x, H):
             # fully-fused Pallas kernel: qkv matmul + attention + proj in
             # one program — q/k/v/attn-out never touch HBM

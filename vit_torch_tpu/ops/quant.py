@@ -25,6 +25,7 @@ is a TPU-native extension targeting PERF.md lever #2.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import jax
@@ -32,10 +33,36 @@ import jax.numpy as jnp
 
 _EPS = 1e-8
 
+_PREQUANT_CAPTURE = 0
+
 
 def w8a8_enabled() -> bool:
     """Opt-in flag for the int8 serving path (``VITX_W8A8=1``)."""
     return os.environ.get("VITX_W8A8", "") == "1"
+
+
+@contextlib.contextmanager
+def prequant_capture():
+    """Export-time capture mode for prequantized weights.
+
+    Inside this context, the w8a8 consumption sites (``models/layers.py:
+    _prequant_kernel``) *create* an ``int8`` flax variable collection
+    holding each matmul weight's ``(w_q, w_scale)``.  Run it around an
+    EAGER ``model.apply(..., mutable=["int8"])`` — never inside a trace:
+    the captured values must be concrete so a subsequent ``jax.export``
+    trace bakes the int8 constants (not the fp32 kernels + quantize ops)
+    into the serving artifact (``serving/export.py``).
+    """
+    global _PREQUANT_CAPTURE
+    _PREQUANT_CAPTURE += 1
+    try:
+        yield
+    finally:
+        _PREQUANT_CAPTURE -= 1
+
+
+def prequant_capturing() -> bool:
+    return _PREQUANT_CAPTURE > 0
 
 
 def quantize_rowwise(x: jax.Array):
@@ -64,17 +91,22 @@ def quantize_weight(w: jax.Array):
 
 
 def w8a8_dot(x: jax.Array, w: jax.Array, bias=None,
-             out_dtype=None) -> jax.Array:
+             out_dtype=None, pre=None) -> jax.Array:
     """``x @ w (+ bias)`` through the int8 MXU path.
 
     ``x``: ``(..., K)`` activations (any float dtype); ``w``: ``(K, N)``
     fp32/bf16 weight.  Both are quantized on the fly; the product
     accumulates in s32 and is rescaled by the per-token and per-channel
     scales in fp32.  Output dtype defaults to ``x.dtype``.
+
+    ``pre``: optional prequantized ``(w_q, w_scale)`` — serving bundles
+    bake these as int8 constants (captured via :func:`prequant_capture`),
+    skipping the in-graph weight quantize; ``w`` then goes unused (and,
+    being an unused closure constant, stays out of the exported artifact).
     """
     out_dtype = out_dtype or x.dtype
     x_q, x_scale = quantize_rowwise(x)
-    w_q, w_scale = quantize_weight(w)
+    w_q, w_scale = pre if pre is not None else quantize_weight(w)
     nd = x.ndim
     acc = jax.lax.dot_general(
         x_q, w_q, (((nd - 1,), (0,)), ((), ())),

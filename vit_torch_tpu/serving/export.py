@@ -154,7 +154,8 @@ def export_classifier(zoo_model, variables, *, image_size: int,
                       batch_sizes: Sequence[int] = (1, 8, 32),
                       norm: Optional[Dict[str, Sequence[float]]] = None,
                       platforms: Optional[Sequence[str]] = None,
-                      param_dtype: Optional[str] = None) -> Dict:
+                      param_dtype: Optional[str] = None,
+                      prequant: bool = True) -> Dict:
     """Export a zoo classifier's eval forward for each batch size.
 
     ``norm`` is ``{"mean": (3,), "std": (3,)}`` in 0-1 units (a
@@ -168,6 +169,13 @@ def export_classifier(zoo_model, variables, *, image_size: int,
     copy — ~344 MB fp32 for ViT-B).  Matmul weights are cast to the
     activation dtype in-graph anyway; the (small) eval difference comes
     from LayerNorm/bias params that normally stay fp32.
+
+    Under ``VITX_W8A8=1`` with ``prequant=True`` (default), matmul weights
+    are quantized HOST-SIDE before tracing (one eager capture forward,
+    ``ops.quant.prequant_capture``) so the artifact bakes int8 constants +
+    per-channel scales instead of float kernels + in-graph quantize ops:
+    ~4x smaller than fp32 (2x vs bf16) on the matmul weights, and the
+    serve graph skips the per-call weight-quantize sweep.
 
     Returns ``{"manifest": dict, "exports": {bs: Exported}}``.
     """
@@ -183,6 +191,20 @@ def export_classifier(zoo_model, variables, *, image_size: int,
     # params ride inside the closure: export bakes them into the StableHLO
     # as constants, making the artifact self-contained
     apply_fn = zoo_model.model.apply
+
+    prequantized = False
+    if w8a8_enabled() and prequant:
+        from vit_torch_tpu.ops import quant as _quant
+        x0 = jnp.zeros((1, image_size, image_size, 3), jnp.uint8)
+        xn = (x0.astype(dt) / 255.0 - mean) / std
+        # eager (un-jitted) forward: the int8 collection must hold CONCRETE
+        # values so the export trace below bakes them as constants
+        with _quant.prequant_capture():
+            _, aux = apply_fn(variables, xn, True, mutable=["int8"])
+        int8 = dict(aux).get("int8")   # empty when the arch has no w8a8
+        if int8:                       # sites (e.g. conv-only backbones)
+            variables = {**variables, "int8": int8}
+            prequantized = True
 
     def forward(images):
         x = (images.astype(dt) / 255.0 - mean) / std
@@ -208,6 +230,7 @@ def export_classifier(zoo_model, variables, *, image_size: int,
         "activation_dtype": jnp.dtype(dt).name,
         "param_dtype": str(param_dtype) if param_dtype else "float32",
         "w8a8": w8a8_enabled(),
+        "w8a8_prequant": prequantized,
         "jax_version": jax.__version__,
     }
     return {"manifest": manifest, "exports": exports}
@@ -215,7 +238,8 @@ def export_classifier(zoo_model, variables, *, image_size: int,
 
 def export_detector(trainer, *, image_size: int,
                     batch_sizes: Sequence[int] = (1, 8),
-                    platforms: Optional[Sequence[str]] = None) -> Dict:
+                    platforms: Optional[Sequence[str]] = None,
+                    prequant: bool = True) -> Dict:
     """Export a detection trainer's predict program (normalize → model →
     in-graph postprocess) as serving artifacts.
 
@@ -227,15 +251,35 @@ def export_detector(trainer, *, image_size: int,
         {"image": uint8 (bs, S, S, 3), "scale": f32 (bs,),
          "pad": f32 (bs, 2)}  →  {str: array}
 
-    Params (and BatchNorm state for R-CNN backbones) are baked in.
+    Params (and BatchNorm state for R-CNN backbones) are baked in.  Under
+    ``VITX_W8A8=1`` with ``prequant=True`` the QDense weights (DETR
+    transformer / R-CNN box head) are quantized host-side and baked as
+    int8 constants, like ``export_classifier``.
     """
     params = trainer.params
-    predict = getattr(trainer, "_predict", None)
-    if predict is None:
+    predict_vars = getattr(trainer, "_predict_vars", None)
+    if predict_vars is None:
         raise ValueError("trainer has no predict program")
+    variables = {"params": params,
+                 **(getattr(trainer, "model_state", None) or {})}
+
+    prequantized = False
+    if w8a8_enabled() and prequant:
+        from vit_torch_tpu.ops import quant as _quant
+        # eager capture forward (normalization constants don't affect
+        # WHICH kernels the w8a8 sites consume, so raw zeros suffice)
+        x0 = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+        with _quant.prequant_capture():
+            _, aux = trainer.model.apply(variables, x0,
+                                         deterministic=True,
+                                         mutable=["int8"])
+        int8 = dict(aux).get("int8")
+        if int8:
+            variables = {**variables, "int8": int8}
+            prequantized = True
 
     def forward(batch):
-        return predict(params, batch)
+        return predict_vars(variables, batch)
 
     exports = {}
     for bs in sorted(set(int(b) for b in batch_sizes)):
@@ -256,6 +300,7 @@ def export_detector(trainer, *, image_size: int,
         "outputs": [str(a) for a in sample.out_avals],
         "platforms": list(sample.platforms),
         "w8a8": w8a8_enabled(),
+        "w8a8_prequant": prequantized,
         "jax_version": jax.__version__,
     }
     return {"manifest": manifest, "exports": exports}
