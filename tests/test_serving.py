@@ -187,6 +187,33 @@ def test_multi_platform_export(tiny, tmp_path):
     assert logits.shape == (2, 10) and np.isfinite(logits).all()
 
 
+def test_multi_device_export(tiny, tmp_path):
+    """num_devices=2 exports a data-parallel bundle (batch sharded over a
+    2-device mesh, params replicated); loading commits inputs to a
+    matching mesh and results equal the single-device export."""
+    zm, variables = tiny
+    sharded = export_classifier(zm, variables, image_size=32,
+                                batch_sizes=[4], num_devices=2)
+    assert sharded["manifest"]["num_devices"] == 2
+    assert sharded["exports"][4].nr_devices == 2
+    save_bundle(str(tmp_path), sharded)
+    served = load_bundle(str(tmp_path))
+
+    rng = np.random.default_rng(9)
+    images = rng.integers(0, 255, (3, 32, 32, 3), dtype=np.uint8)
+    got = served.predict(images)          # 3 pads up to the 4-bucket
+    single = export_classifier(zm, variables, image_size=32,
+                               batch_sizes=[4])
+    ref = np.asarray(single["exports"][4].call(
+        jnp.asarray(np.concatenate(
+            [images, np.zeros((1, 32, 32, 3), np.uint8)]))))[:3]
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        export_classifier(zm, variables, image_size=32,
+                          batch_sizes=[3], num_devices=2)
+
+
 def test_export_detector_roundtrip(tmp_path):
     """DETR predict program exports and serves: pytree batch in, dict of
     scores/labels/boxes out, matching the live trainer predict."""
@@ -298,6 +325,40 @@ def test_export_detector_frcnn(tmp_path):
     out = served.predict_tree(batch)
     live = jax.device_get(tr._predict(tr.params, batch))
     assert set(out) == set(live)
+    for k in live:
+        np.testing.assert_allclose(out[k], live[k], atol=1e-4, rtol=1e-4)
+
+
+def test_multi_device_detector_export(tmp_path):
+    """Detection bundles shard the batch pytree leaf-wise over the mesh."""
+    from vit_torch_tpu.detection.detr import DETR, DETRConfig
+    from vit_torch_tpu.detection.engine import DetectionTrainer
+    from vit_torch_tpu.models.swin import SWIN_CONFIGS, SwinTransformer
+    from vit_torch_tpu.serving import export_detector
+
+    size = 32
+    backbone = SwinTransformer(SWIN_CONFIGS["swin_test"], dtype=jnp.float32,
+                               features_only=True, name="backbone")
+    cfg = DETRConfig(num_classes=3, num_queries=8, hidden_dim=32,
+                     num_heads=4, enc_layers=1, dec_layers=1, ffn_dim=64)
+    model = DETR(cfg, backbone, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, size, size, 3)), True)["params"]
+    tr = DetectionTrainer(model, params, image_size=size, num_classes=3,
+                          lr=1e-4, augment=False)
+    exported = export_detector(tr, image_size=size, batch_sizes=[2],
+                               num_devices=2)
+    assert exported["manifest"]["num_devices"] == 2
+    save_bundle(str(tmp_path), exported)
+    served = load_bundle(str(tmp_path))
+    batch = {
+        "image": np.random.default_rng(8).integers(
+            0, 255, (2, size, size, 3), dtype=np.uint8),
+        "scale": np.ones((2,), np.float32),
+        "pad": np.zeros((2, 2), np.float32),
+    }
+    out = served.predict_tree(batch)
+    live = jax.device_get(tr._predict(tr.params, batch))
     for k in live:
         np.testing.assert_allclose(out[k], live[k], atol=1e-4, rtol=1e-4)
 

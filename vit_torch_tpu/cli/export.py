@@ -43,11 +43,18 @@ def main(argv=None) -> None:
                    help="comma-separated export platforms, e.g. cpu,tpu "
                         "(default: trace-time backend)")
     p.add_argument("--w8a8", action="store_true",
-                   help="bake the dynamic-int8 serving path into the export")
+                   help="bake the int8 serving path into the export "
+                        "(weights prequantized host-side by default)")
+    p.add_argument("--no_prequant", action="store_true",
+                   help="with --w8a8: keep fp32 kernels + in-graph weight "
+                        "quantize instead of baking int8 constants")
     p.add_argument("--param_dtype", default=None,
                    choices=[None, "bfloat16", "float32"],
                    help="cast baked params before export "
                         "(bfloat16 halves artifact size)")
+    p.add_argument("--num_devices", type=int, default=1,
+                   help=">1 exports a data-parallel bundle: the batch axis "
+                        "shards over that many devices (serving-side DP)")
     p.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--out", required=True, help="bundle output directory")
     args = p.parse_args(argv)
@@ -79,7 +86,8 @@ def main(argv=None) -> None:
         batch_sizes=[int(b) for b in args.bs.split(",") if b],
         norm=NORM_VALUES[args.dataset],
         platforms=None if not args.platforms else args.platforms.split(","),
-        param_dtype=args.param_dtype)
+        param_dtype=args.param_dtype, prequant=not args.no_prequant,
+        num_devices=args.num_devices)
     save_bundle(args.out, exported)
     sizes = {f: os.path.getsize(os.path.join(args.out, f))
              for f in sorted(os.listdir(args.out))}

@@ -41,6 +41,17 @@ from vit_torch_tpu.ops.quant import w8a8_enabled
 _MANIFEST = "manifest.json"
 
 
+def _data_sharding(num_devices: int):
+    """Batch-axis NamedSharding over the first ``num_devices`` devices."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+    devs = jax.devices()
+    if len(devs) < num_devices:
+        raise ValueError(
+            f"bundle needs {num_devices} devices, have {len(devs)}")
+    mesh = Mesh(np.array(devs[:num_devices]), ("data",))
+    return NamedSharding(mesh, PartitionSpec("data"))
+
+
 @dataclasses.dataclass
 class ServingModel:
     """A loaded serving bundle: per-batch-size compiled forwards."""
@@ -51,6 +62,17 @@ class ServingModel:
     @property
     def batch_sizes(self) -> Tuple[int, ...]:
         return tuple(sorted(self._fns))
+
+    def _put(self, tree):
+        """Commit inputs to the bundle's device mesh.  Multi-device
+        bundles (``num_devices > 1``) were exported with batch-axis
+        shardings; jax.export requires call-time arrays committed to the
+        same device count."""
+        n = int(self.manifest.get("num_devices", 1))
+        if n <= 1:
+            return tree
+        sh = _data_sharding(n)
+        return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
 
     def predict(self, images: np.ndarray) -> np.ndarray:
         """Run raw uint8 NHWC images through the exported forward.
@@ -74,7 +96,7 @@ class ServingModel:
         if n < bs:
             pad = np.zeros((bs - n,) + images.shape[1:], images.dtype)
             images = np.concatenate([images, pad], axis=0)
-        logits = self._fns[bs].call(jnp.asarray(images))
+        logits = self._fns[bs].call(self._put(jnp.asarray(images)))
         return np.asarray(logits)[:n]
 
     def _check_image_size(self, hw) -> None:
@@ -113,7 +135,7 @@ class ServingModel:
             fill = np.zeros((bs - n,) + a.shape[1:], a.dtype)
             return np.concatenate([a, fill], axis=0)
 
-        out = self._fns[bs].call(jax.tree.map(pad, batch))
+        out = self._fns[bs].call(self._put(jax.tree.map(pad, batch)))
         return jax.tree.map(lambda a: np.asarray(a)[:n], out)
 
 
@@ -155,7 +177,8 @@ def export_classifier(zoo_model, variables, *, image_size: int,
                       norm: Optional[Dict[str, Sequence[float]]] = None,
                       platforms: Optional[Sequence[str]] = None,
                       param_dtype: Optional[str] = None,
-                      prequant: bool = True) -> Dict:
+                      prequant: bool = True,
+                      num_devices: int = 1) -> Dict:
     """Export a zoo classifier's eval forward for each batch size.
 
     ``norm`` is ``{"mean": (3,), "std": (3,)}`` in 0-1 units (a
@@ -176,6 +199,11 @@ def export_classifier(zoo_model, variables, *, image_size: int,
     per-channel scales instead of float kernels + in-graph quantize ops:
     ~4x smaller than fp32 (2x vs bf16) on the matmul weights, and the
     serve graph skips the per-call weight-quantize sweep.
+
+    ``num_devices > 1`` exports a data-parallel bundle: the batch axis
+    shards over a 1-D mesh of that many devices (params replicate as
+    baked constants) and serving requires that many devices at load time
+    (``ServingModel._put`` commits inputs to the mesh).
 
     Returns ``{"manifest": dict, "exports": {bs: Exported}}``.
     """
@@ -210,11 +238,21 @@ def export_classifier(zoo_model, variables, *, image_size: int,
         x = (images.astype(dt) / 255.0 - mean) / std
         return apply_fn(variables, x, True).astype(jnp.float32)
 
+    # num_devices > 1: data-parallel serving — the batch axis shards over
+    # a 1-D device mesh (params replicate as baked constants), so one
+    # bundle drives a whole pod slice; jax.export records the shardings
+    # and ServingModel._put commits call-time inputs to a matching mesh
+    sharding = _data_sharding(num_devices) if num_devices > 1 else None
+    jit_kw = {} if sharding is None else {
+        "in_shardings": sharding, "out_shardings": sharding}
     exports = {}
     for bs in sorted(set(int(b) for b in batch_sizes)):
+        if sharding is not None and bs % num_devices:
+            raise ValueError(f"batch size {bs} not divisible by "
+                             f"num_devices={num_devices}")
         spec = jax.ShapeDtypeStruct((bs, image_size, image_size, 3), jnp.uint8)
         exports[bs] = jax.export.export(
-            jax.jit(forward),
+            jax.jit(forward, **jit_kw),
             platforms=None if platforms is None else list(platforms))(spec)
     num_classes = int(exports[min(exports)].out_avals[0].shape[-1])
     manifest = {
@@ -229,6 +267,7 @@ def export_classifier(zoo_model, variables, *, image_size: int,
         "platforms": list(exports[min(exports)].platforms),
         "activation_dtype": jnp.dtype(dt).name,
         "param_dtype": str(param_dtype) if param_dtype else "float32",
+        "num_devices": int(num_devices),
         "w8a8": w8a8_enabled(),
         "w8a8_prequant": prequantized,
         "jax_version": jax.__version__,
@@ -239,7 +278,8 @@ def export_classifier(zoo_model, variables, *, image_size: int,
 def export_detector(trainer, *, image_size: int,
                     batch_sizes: Sequence[int] = (1, 8),
                     platforms: Optional[Sequence[str]] = None,
-                    prequant: bool = True) -> Dict:
+                    prequant: bool = True,
+                    num_devices: int = 1) -> Dict:
     """Export a detection trainer's predict program (normalize → model →
     in-graph postprocess) as serving artifacts.
 
@@ -281,8 +321,16 @@ def export_detector(trainer, *, image_size: int,
     def forward(batch):
         return predict_vars(variables, batch)
 
+    # data-parallel serving: shard every batch-pytree leaf (and every
+    # prediction leaf) on axis 0 — a single-sharding pytree prefix
+    sharding = _data_sharding(num_devices) if num_devices > 1 else None
+    jit_kw = {} if sharding is None else {
+        "in_shardings": sharding, "out_shardings": sharding}
     exports = {}
     for bs in sorted(set(int(b) for b in batch_sizes)):
+        if sharding is not None and bs % num_devices:
+            raise ValueError(f"batch size {bs} not divisible by "
+                             f"num_devices={num_devices}")
         spec = {
             "image": jax.ShapeDtypeStruct(
                 (bs, image_size, image_size, 3), jnp.uint8),
@@ -290,7 +338,7 @@ def export_detector(trainer, *, image_size: int,
             "pad": jax.ShapeDtypeStruct((bs, 2), jnp.float32),
         }
         exports[bs] = jax.export.export(
-            jax.jit(forward),
+            jax.jit(forward, **jit_kw),
             platforms=None if platforms is None else list(platforms))(spec)
     sample = exports[min(exports)]
     manifest = {
@@ -299,6 +347,7 @@ def export_detector(trainer, *, image_size: int,
         "batch_sizes": sorted(exports),
         "outputs": [str(a) for a in sample.out_avals],
         "platforms": list(sample.platforms),
+        "num_devices": int(num_devices),
         "w8a8": w8a8_enabled(),
         "w8a8_prequant": prequantized,
         "jax_version": jax.__version__,
