@@ -12,7 +12,10 @@
 #     -> examples/perf/resnext_shape_bound.json
 # Then write the PERF.md lever-#2 ledger entry from 1+2 and the roofline
 # conclusion from 3.
+#  4. AOT bundle serving throughput (bf16 vs dynamic-int8 vs prequant
+#     int8 artifacts) -> examples/bundle_bench_tpu.json
 set -x
 timeout 900 python examples/perf/int8_matmul_probe.py
 timeout 1800 python examples/bench_inference.py --w8a8
 timeout 1200 python examples/perf/resnext_shape_bound.py
+timeout 1800 python examples/bench_bundle.py
