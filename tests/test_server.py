@@ -138,11 +138,19 @@ def test_server_classifier_e2e(classifier_bundle):
             np.testing.assert_allclose(p["logits"], r, atol=1e-5, rtol=1e-4)
             assert p["label"] == int(np.argmax(r))
 
+        # serving telemetry reflects the traffic so far
+        status, stats = _get(port, "/stats")
+        assert status == 200
+        assert stats["requests"] == 1 and stats["images"] == 2
+        assert sum(int(k) * v for k, v in stats["dispatches"].items()) == 2
+        assert stats["latency_ms"]["p50"] > 0
+
         # malformed payloads are 400s, unknown paths 404s
         assert _post(port, "/v1/predict", {"images": []})[0] == 400
         assert _post(port, "/v1/predict", {"images": ["!!"]})[0] == 400
         assert _post(port, "/nope", {})[0] == 404
         assert _get(port, "/nope")[0] == 404
+        assert _get(port, "/stats")[1]["errors"] == 2
     finally:
         server.shutdown()
 

@@ -15,6 +15,13 @@ Endpoints (JSON over HTTP/1.1):
 ``GET /healthz``
     ``{"status": "ok", "manifest": {...}}``
 
+``GET /stats``
+    Serving telemetry (the serving-side sibling of the training stats
+    subsystem, ``utils/stats.py``): request/image counts, end-to-end
+    request latency percentiles over a sliding window, and the dispatch
+    batch-size histogram — the number that tells you whether
+    micro-batching is actually coalescing.
+
 ``POST /v1/predict`` with body ``{"images": [<base64 image bytes>, ...]}``
     Each entry is a base64-encoded image *file* (PNG/JPEG/...; anything
     PIL decodes).  Classifier bundles reply
@@ -112,6 +119,49 @@ class MicroBatcher:
                         fut.set_exception(e)
 
 
+class ServingStats:
+    """Thread-safe sliding-window serving telemetry."""
+
+    def __init__(self, window: int = 1024):
+        from collections import Counter, deque
+        self._lock = threading.Lock()
+        self._latencies = deque(maxlen=window)   # seconds, per request
+        self._batch_sizes = Counter()            # dispatch size -> count
+        self.requests = 0
+        self.images = 0
+        self.errors = 0
+
+    def record_request(self, n_images: int, seconds: float) -> None:
+        with self._lock:
+            self.requests += 1
+            self.images += n_images
+            self._latencies.append(seconds)
+
+    def record_dispatch(self, batch_size: int) -> None:
+        with self._lock:
+            self._batch_sizes[batch_size] += 1
+
+    def record_error(self) -> None:
+        with self._lock:
+            self.errors += 1
+
+    def snapshot(self) -> Dict:
+        with self._lock:
+            lat = sorted(self._latencies)
+            sizes = dict(sorted(self._batch_sizes.items()))
+            out = {"requests": self.requests, "images": self.images,
+                   "errors": self.errors,
+                   "dispatches": {str(k): v for k, v in sizes.items()}}
+        if lat:
+            def pct(p):
+                return round(1000 * lat[min(len(lat) - 1,
+                                            int(p * len(lat)))], 3)
+            out["latency_ms"] = {"p50": pct(0.50), "p90": pct(0.90),
+                                 "p99": pct(0.99),
+                                 "window": len(lat)}
+        return out
+
+
 def _decode_image(b64: str) -> np.ndarray:
     from PIL import Image
     raw = base64.b64decode(b64, validate=True)
@@ -132,6 +182,7 @@ class BundleServer:
         self.image_size = int(self.manifest["image_size"])
         if max_batch is None:
             max_batch = max(self.model.batch_sizes)
+        self.stats = ServingStats()
         self._batcher = MicroBatcher(self._run_batch, max_batch=max_batch,
                                      max_wait_ms=max_wait_ms)
         handler = _make_handler(self)
@@ -150,6 +201,7 @@ class BundleServer:
         return self._batcher.submit(image).result()
 
     def _run_batch(self, images: Sequence[np.ndarray]) -> List[Dict]:
+        self.stats.record_dispatch(len(images))
         if self.is_detection:
             batch = letterbox_images(list(images), self.image_size)
             out = self.model.predict_tree(batch)
@@ -217,6 +269,8 @@ def _make_handler(server: BundleServer):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok",
                                   "manifest": server.manifest})
+            elif self.path == "/stats":
+                self._reply(200, server.stats.snapshot())
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -224,6 +278,7 @@ def _make_handler(server: BundleServer):
             if self.path != "/v1/predict":
                 self._reply(404, {"error": f"unknown path {self.path}"})
                 return
+            t0 = time.monotonic()
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
@@ -232,6 +287,7 @@ def _make_handler(server: BundleServer):
                     raise ValueError("'images' must be a non-empty list")
                 images = [_decode_image(b) for b in b64s]
             except Exception as e:
+                server.stats.record_error()
                 self._reply(400, {"error": f"bad request: {e}"})
                 return
             try:
@@ -239,8 +295,10 @@ def _make_handler(server: BundleServer):
                 preds = [_format_prediction(server, f.result(), req)
                          for f in futs]
             except Exception as e:
+                server.stats.record_error()
                 self._reply(500, {"error": f"inference failed: {e}"})
                 return
+            server.stats.record_request(len(images), time.monotonic() - t0)
             self._reply(200, {"predictions": preds})
 
     return Handler
