@@ -42,6 +42,15 @@ ZOO_CONFIGS = [
      "baseline_img_s": 356.0},        # BASELINE.md swin_tiny row
     {"name": "resnext50_32x4d finetune 224px bs32", "arch": "resnext50_32x4d",
      "image_size": 224, "bs": 32, "lineareval": False, "baseline_img_s": None},
+    # the two remaining configs with logged reference throughput
+    {"name": "resnext101_32x8d lineareval 224px bs32",
+     "arch": "resnext101_32x8d",
+     "image_size": 224, "bs": 32, "lineareval": True,
+     "baseline_img_s": 176.0},        # 5.70 ms/sample, BASELINE.md
+    {"name": "swin_base_224 lineareval 224px bs32",
+     "arch": "swin_base_patch4_window7_224",
+     "image_size": 224, "bs": 32, "lineareval": True,
+     "baseline_img_s": 179.0},        # 5.59 ms/sample, BASELINE.md
     # largest swin config: stage 4 (C=1536) runs the fused window block in
     # head-split groups=4 mode (e2e-verified faster than the attention-only
     # fallback — PERF.md lever #1)

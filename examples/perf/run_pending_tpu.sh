@@ -19,3 +19,7 @@ timeout 900 python examples/perf/int8_matmul_probe.py
 timeout 1800 python examples/bench_inference.py --w8a8
 timeout 1200 python examples/perf/resnext_shape_bound.py
 timeout 1800 python examples/bench_bundle.py
+#  5. zoo sweep refresh: adds the resnext101/swin_base_224 rows (the two
+#     remaining configs with logged reference baselines, vs_baseline
+#     ratios for 5 of 10 rows)
+timeout 3600 python examples/bench_zoo.py
