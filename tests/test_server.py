@@ -59,6 +59,34 @@ def test_microbatcher_respects_max_batch():
         b.close()
 
 
+def test_microbatcher_rejects_bad_max_batch():
+    with pytest.raises(ValueError, match="max_batch"):
+        MicroBatcher(lambda xs: xs, max_batch=0)
+
+
+def test_microbatcher_survives_cancelled_future():
+    """A caller-cancelled future must not poison the rest of its batch."""
+    gate = threading.Event()
+
+    def run_batch(items):
+        gate.wait(timeout=5)
+        return [x + 1 for x in items]
+
+    b = MicroBatcher(run_batch, max_batch=4, max_wait_ms=200)
+    try:
+        f1 = b.submit(1)      # worker grabs it and blocks on the gate
+        time.sleep(0.05)
+        f2 = b.submit(2)
+        f3 = b.submit(3)
+        assert f2.cancel()    # still queued → cancellable
+        gate.set()
+        assert f1.result(timeout=5) == 2
+        assert f3.result(timeout=5) == 4
+        assert f2.cancelled()
+    finally:
+        b.close()
+
+
 def test_microbatcher_propagates_errors():
     def run_batch(items):
         raise ValueError("boom")
@@ -145,12 +173,20 @@ def test_server_classifier_e2e(classifier_bundle):
         assert sum(int(k) * v for k, v in stats["dispatches"].items()) == 2
         assert stats["latency_ms"]["p50"] > 0
 
-        # malformed payloads are 400s, unknown paths 404s
+        # newline-wrapped base64 (base64.encodebytes style) must decode
+        wrapped = base64.encodebytes(
+            base64.b64decode(_b64_png(imgs[1]))).decode()
+        assert _post(port, "/v1/predict", {"images": [wrapped]})[0] == 200
+
+        # malformed payloads are 400s (incl. bad request fields), unknown
+        # paths 404s
         assert _post(port, "/v1/predict", {"images": []})[0] == 400
         assert _post(port, "/v1/predict", {"images": ["!!"]})[0] == 400
+        bad_thr = {"images": [_b64_png(imgs[1])], "score_threshold": "high"}
+        assert _post(port, "/v1/predict", bad_thr)[0] == 400
         assert _post(port, "/nope", {})[0] == 404
         assert _get(port, "/nope")[0] == 404
-        assert _get(port, "/stats")[1]["errors"] == 2
+        assert _get(port, "/stats")[1]["errors"] == 3
     finally:
         server.shutdown()
 
@@ -192,6 +228,57 @@ def test_server_concurrent_requests_batch(classifier_bundle):
         a = results[0][1]["predictions"][0]["logits"]
         b = results[1][1]["predictions"][0]["logits"]
         np.testing.assert_allclose(a, b, atol=1e-6)
+    finally:
+        server.shutdown()
+
+
+def test_server_predict_timeout_504(classifier_bundle):
+    """A wedged dispatch turns into a 504, not a hung handler thread."""
+    server = BundleServer(classifier_bundle, port=0, max_wait_ms=1.0,
+                          predict_timeout_s=0.2)
+    orig = server.model.predict
+
+    def slow_predict(images):
+        time.sleep(1.0)
+        return orig(images)
+
+    server.model.predict = slow_predict
+    server.start()
+    try:
+        port = server.address[1]
+        img = np.zeros((32, 32, 3), np.uint8)
+        status, body = _post(port, "/v1/predict",
+                             {"images": [_b64_png(img)]})
+        assert status == 504, body
+        assert "timed out" in body["error"]
+    finally:
+        server.shutdown()
+
+
+def test_format_prediction_extra_outputs(classifier_bundle):
+    """Keypoint / mask outputs ride along, filtered to the kept rows."""
+    from vit_torch_tpu.serving.server import _format_prediction
+    server = BundleServer(classifier_bundle, port=0)
+    try:
+        server.is_detection = True
+        raw = {"scores": np.array([0.9, 0.2, 0.7], np.float32),
+               "labels": np.array([1, 2, 3]),
+               "boxes": np.arange(12, dtype=np.float32).reshape(3, 4),
+               "keypoints": np.arange(3 * 5 * 3,
+                                      dtype=np.float32).reshape(3, 5, 3),
+               "masks_packed": np.arange(3 * 32 * 4,
+                                         dtype=np.uint8).reshape(3, 32, 4)}
+        out = _format_prediction(server, raw, thr=0.5, top_k=None)
+        np.testing.assert_allclose(out["scores"], [0.9, 0.7],
+                                   atol=1e-6)       # sorted, thresholded
+        assert out["labels"] == [1, 3]
+        assert len(out["keypoints"]) == 2
+        assert out["keypoints"][1][0][0] == 2 * 15  # row for score 0.7
+        mp = out["masks_packed"]
+        assert mp["shape"] == [2, 32, 4]
+        unpacked = np.frombuffer(base64.b64decode(mp["b64"]), np.uint8)
+        np.testing.assert_array_equal(
+            unpacked.reshape(2, 32, 4), raw["masks_packed"][[0, 2]])
     finally:
         server.shutdown()
 

@@ -187,6 +187,18 @@ def test_multi_platform_export(tiny, tmp_path):
     assert logits.shape == (2, 10) and np.isfinite(logits).all()
 
 
+def test_predict_rejects_float_images(tiny, tmp_path):
+    """Pre-scaled float inputs get the friendly-error layer, not a deep
+    jax.export aval mismatch."""
+    zm, variables = tiny
+    exported = export_classifier(zm, variables, image_size=32,
+                                 batch_sizes=[2])
+    save_bundle(str(tmp_path), exported)
+    model = load_bundle(str(tmp_path))
+    with pytest.raises(ValueError, match="uint8"):
+        model.predict(np.zeros((2, 32, 32, 3), np.float32))
+
+
 def test_multi_device_export(tiny, tmp_path):
     """num_devices=2 exports a data-parallel bundle (batch sharded over a
     2-device mesh, params replicated); loading commits inputs to a

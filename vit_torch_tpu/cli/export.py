@@ -25,6 +25,18 @@ import os
 import sys
 
 
+def _norm_for(norm_values, dataset: str):
+    """Normalization constants for ``--dataset``, mirroring the training
+    CLI: unknown (ImageFolder-style) dataset names fall back to the
+    imagenet constants instead of crashing with a KeyError."""
+    if dataset not in norm_values:
+        print(f"note: no normalization entry for dataset '{dataset}' — "
+              f"using imagenet constants (the ImageFolder default)",
+              file=sys.stderr)
+        return norm_values["imagenet"]
+    return norm_values[dataset]
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--arch", required=True)
@@ -84,7 +96,7 @@ def main(argv=None) -> None:
     exported = export_classifier(
         zm, variables, image_size=args.image_size,
         batch_sizes=[int(b) for b in args.bs.split(",") if b],
-        norm=NORM_VALUES[args.dataset],
+        norm=_norm_for(NORM_VALUES, args.dataset),
         platforms=None if not args.platforms else args.platforms.split(","),
         param_dtype=args.param_dtype, prequant=not args.no_prequant,
         num_devices=args.num_devices)

@@ -24,6 +24,10 @@ def main(argv=None) -> None:
     p.add_argument("--max_wait_ms", type=float, default=5.0,
                    help="micro-batch window: how long the first request in "
                         "a batch waits for company")
+    p.add_argument("--predict_timeout_s", type=float, default=120.0,
+                   help="per-request inference deadline; a wedged device "
+                        "dispatch turns into 504s instead of piled-up "
+                        "blocked handler threads")
     p.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     args = p.parse_args(argv)
 
@@ -34,7 +38,8 @@ def main(argv=None) -> None:
     from vit_torch_tpu.serving.server import BundleServer
     server = BundleServer(args.bundle, host=args.host, port=args.port,
                           max_batch=args.max_batch,
-                          max_wait_ms=args.max_wait_ms)
+                          max_wait_ms=args.max_wait_ms,
+                          predict_timeout_s=args.predict_timeout_s)
     host, port = server.address
     kind = "detection" if server.is_detection else "classifier"
     print(f"serving {kind} bundle {args.bundle} on http://{host}:{port} "

@@ -58,6 +58,7 @@ class ServingModel:
 
     manifest: Dict
     _fns: Dict[int, "jax.export.Exported"]
+    _sharding: object = None      # lazily-built mesh sharding (hot path)
 
     @property
     def batch_sizes(self) -> Tuple[int, ...]:
@@ -71,7 +72,9 @@ class ServingModel:
         n = int(self.manifest.get("num_devices", 1))
         if n <= 1:
             return tree
-        sh = _data_sharding(n)
+        if self._sharding is None:   # build the Mesh once, not per call
+            self._sharding = _data_sharding(n)
+        sh = self._sharding
         return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
 
     def predict(self, images: np.ndarray) -> np.ndarray:
@@ -84,6 +87,10 @@ class ServingModel:
         """
         if images.ndim != 4 or images.shape[-1] != 3:
             raise ValueError(f"expected (bs, H, W, 3) uint8, got {images.shape}")
+        if np.asarray(images).dtype != np.uint8:
+            raise ValueError(
+                f"expected uint8 pixels in [0, 255], got {images.dtype} — "
+                f"the bundle normalizes in-graph; do not pre-scale")
         self._check_image_size(images.shape[1:3])
         n = images.shape[0]
         buckets = self.batch_sizes
@@ -116,7 +123,12 @@ class ServingModel:
         if not leaves:
             raise ValueError("empty batch")
         if isinstance(batch, dict) and "image" in batch:
-            self._check_image_size(np.asarray(batch["image"]).shape[1:3])
+            img = np.asarray(batch["image"])
+            if img.dtype != np.uint8:
+                raise ValueError(
+                    f"expected uint8 'image', got {img.dtype} — use "
+                    f"serving.letterbox_images to build the batch")
+            self._check_image_size(img.shape[1:3])
         n = leaves[0].shape[0]
         buckets = self.batch_sizes
         largest = buckets[-1]

@@ -41,6 +41,7 @@ import json
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Dict, List, Optional, Sequence
 
@@ -66,7 +67,9 @@ class MicroBatcher:
                  max_batch: int = 32, max_wait_ms: float = 5.0):
         self._run = run_batch
         self.max_batch = int(max_batch)
-        self.max_wait = float(max_wait_ms) / 1000.0
+        if self.max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self.max_wait = max(0.0, float(max_wait_ms) / 1000.0)
         self._lock = threading.Condition()
         self._queue: List = []            # (item, Future)
         self._closed = False
@@ -112,7 +115,8 @@ class MicroBatcher:
                         f"run_batch returned {len(results)} results for "
                         f"{len(items)} items")
                 for (_, fut), res in zip(batch, results):
-                    fut.set_result(res)
+                    if not fut.cancelled():   # a caller-cancelled future
+                        fut.set_result(res)   # must not poison the batch
             except BaseException as e:  # propagate to every waiter
                 for _, fut in batch:
                     if not fut.done():
@@ -164,7 +168,9 @@ class ServingStats:
 
 def _decode_image(b64: str) -> np.ndarray:
     from PIL import Image
-    raw = base64.b64decode(b64, validate=True)
+    # lenient decode: standard encoders (base64.encodebytes, the `base64`
+    # CLI) wrap lines with \n, which strict validation would reject
+    raw = base64.b64decode(b64)
     img = Image.open(io.BytesIO(raw)).convert("RGB")
     return np.asarray(img, np.uint8)
 
@@ -174,7 +180,8 @@ class BundleServer:
 
     def __init__(self, bundle_dir: str, host: str = "127.0.0.1",
                  port: int = 8000, max_batch: Optional[int] = None,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0,
+                 predict_timeout_s: float = 120.0):
         self.model: ServingModel = load_bundle(bundle_dir)
         self.manifest: Dict = self.model.manifest
         self.is_detection = str(self.manifest.get("format", "")).startswith(
@@ -182,6 +189,10 @@ class BundleServer:
         self.image_size = int(self.manifest["image_size"])
         if max_batch is None:
             max_batch = max(self.model.batch_sizes)
+        # bound on Future.result(): a wedged device dispatch (tunneled TPUs
+        # can hang for hours) must turn into 504s, not an unbounded pile of
+        # blocked handler threads behind a healthy-looking /healthz
+        self.predict_timeout_s = float(predict_timeout_s)
         self.stats = ServingStats()
         self._batcher = MicroBatcher(self._run_batch, max_batch=max_batch,
                                      max_wait_ms=max_wait_ms)
@@ -198,15 +209,15 @@ class BundleServer:
     def predict_one(self, image: np.ndarray) -> Dict:
         """Single decoded image → raw per-image outputs (batched under
         the hood by the MicroBatcher)."""
-        return self._batcher.submit(image).result()
+        return self._batcher.submit(image).result(
+            timeout=self.predict_timeout_s)
 
     def _run_batch(self, images: Sequence[np.ndarray]) -> List[Dict]:
         self.stats.record_dispatch(len(images))
         if self.is_detection:
             batch = letterbox_images(list(images), self.image_size)
             out = self.model.predict_tree(batch)
-            keys = [k for k in ("scores", "labels", "boxes") if k in out]
-            return [{k: np.asarray(out[k][i]) for k in keys}
+            return [{k: np.asarray(v[i]) for k, v in out.items()}
                     for i in range(len(images))]
         from vit_torch_tpu.data.datasets import resize_images
         S = self.image_size
@@ -217,37 +228,53 @@ class BundleServer:
 
     # ------------------------------------------------------------------
     def serve_forever(self) -> None:
+        self._serving = True
         self._httpd.serve_forever()
 
     def start(self) -> None:
         """Run the server on a background thread (tests, notebooks)."""
+        self._serving = True
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
 
     def shutdown(self) -> None:
-        self._httpd.shutdown()
+        if getattr(self, "_serving", False):
+            # socketserver.shutdown() blocks on serve_forever's exit
+            # event, which never fires if serving never started
+            self._httpd.shutdown()
         self._httpd.server_close()
         self._batcher.close()
         if self._thread is not None:
             self._thread.join(timeout=5)
 
 
-def _format_prediction(server: BundleServer, raw: Dict, req: Dict) -> Dict:
+def _format_prediction(server: BundleServer, raw: Dict, thr: float,
+                       top_k: Optional[int]) -> Dict:
     if not server.is_detection:
         logits = raw["logits"]
         return {"logits": [float(v) for v in logits],
                 "label": int(np.argmax(logits))}
-    thr = float(req.get("score_threshold", 0.5))
     scores = raw["scores"]
     order = np.argsort(-scores)
     keep = order[scores[order] >= thr]
-    top_k = req.get("top_k")
     if top_k is not None:
-        keep = keep[:int(top_k)]
-    return {"scores": [float(s) for s in scores[keep]],
-            "labels": [int(l) for l in raw["labels"][keep]],
-            "boxes": [[float(c) for c in b] for b in raw["boxes"][keep]]}
+        keep = keep[:top_k]
+    out = {"scores": [float(s) for s in scores[keep]],
+           "labels": [int(l) for l in raw["labels"][keep]],
+           "boxes": [[float(c) for c in b] for b in raw["boxes"][keep]]}
+    if "keypoints" in raw:           # keypoint bundles: (D, K, 3) x/y/score
+        out["keypoints"] = raw["keypoints"][keep].tolist()
+    if "masks_packed" in raw:
+        # mask bundles: bit-packed (Q, S, S/8) uint8 at letterbox
+        # resolution (serving/segmentation contract) — shipped as base64
+        # with shape metadata; clients unpack with np.unpackbits
+        kept = np.ascontiguousarray(raw["masks_packed"][keep])
+        out["masks_packed"] = {
+            "b64": base64.b64encode(kept.tobytes()).decode(),
+            "shape": list(kept.shape), "dtype": "uint8",
+            "letterbox_size": server.image_size}
+    return out
 
 
 def _make_handler(server: BundleServer):
@@ -285,6 +312,11 @@ def _make_handler(server: BundleServer):
                 b64s = req["images"]
                 if not isinstance(b64s, list) or not b64s:
                     raise ValueError("'images' must be a non-empty list")
+                # request-field validation belongs with the 400s, not the
+                # 500s: a bad score_threshold is a client error
+                thr = float(req.get("score_threshold", 0.5))
+                top_k = req.get("top_k")
+                top_k = None if top_k is None else int(top_k)
                 images = [_decode_image(b) for b in b64s]
             except Exception as e:
                 server.stats.record_error()
@@ -292,8 +324,14 @@ def _make_handler(server: BundleServer):
                 return
             try:
                 futs = [server._batcher.submit(img) for img in images]
-                preds = [_format_prediction(server, f.result(), req)
-                         for f in futs]
+                preds = [_format_prediction(
+                    server, f.result(timeout=server.predict_timeout_s),
+                    thr, top_k) for f in futs]
+            except FuturesTimeoutError:
+                server.stats.record_error()
+                self._reply(504, {"error": "inference timed out after "
+                                  f"{server.predict_timeout_s}s"})
+                return
             except Exception as e:
                 server.stats.record_error()
                 self._reply(500, {"error": f"inference failed: {e}"})
