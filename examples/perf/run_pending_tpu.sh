@@ -23,3 +23,8 @@ timeout 1800 python examples/bench_bundle.py
 #     remaining configs with logged reference baselines, vs_baseline
 #     ratios for 5 of 10 rows)
 timeout 3600 python examples/bench_zoo.py
+#  6. mask-head results: segm-AP convergence (DETR+masks) and the
+#     panoptic PQ curve on the synthetic panoptic set — the two remaining
+#     eval protocols without a convergence artifact
+timeout 5400 python examples/run_detr_masks_synthetic.py
+timeout 5400 python examples/run_panoptic_synthetic.py

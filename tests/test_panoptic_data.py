@@ -133,6 +133,49 @@ def test_panoptic_cli_end_to_end(tmp_path):
     assert _json.load(open(stats))["logs"]
 
 
+def test_make_synthetic_panoptic_roundtrips(tmp_path):
+    """The synthetic panoptic writer produces a split the loader, PQ gt
+    accessor, and instance-gt view all consume consistently."""
+    from vit_torch_tpu.detection.panoptic_data import (
+        CocoPanopticDataset, make_synthetic_panoptic)
+    root = make_synthetic_panoptic(str(tmp_path), n_images=4, size=64,
+                                   seed=3)
+    ds = CocoPanopticDataset(os.path.join(root, "data"),
+                             os.path.join(root, "panoptic"),
+                             os.path.join(root, "panoptic.json"),
+                             image_size=64, max_boxes=8)
+    assert len(ds) == 4
+    assert ds.num_classes == 4                 # 3 things + background
+    item = ds[0]
+    n = int(item["box_mask"].sum())
+    assert n >= 2                              # background + >=1 rectangle
+    for i in range(n):
+        m = item["gt_masks"][i]
+        assert m.sum() > 0
+        x0, y0, x1, y1 = item["boxes"][i]
+        ys, xs = np.nonzero(m)
+        assert (x0, y0, x1, y1) == (xs.min(), ys.min(),
+                                    xs.max() + 1, ys.max() + 1)
+    # every segment id in the PNG is annotated with a live category
+    gt_map, segments, crowd = ds.pq_ground_truth(ds.ids[0])
+    assert set(np.unique(gt_map)) == set(segments)
+    assert not crowd
+    # instance view: valid RLE gt for bbox/segm COCOeval
+    coco = ds.instance_gt()
+    assert len(coco.imgs) == 4
+    anns = coco.img_to_anns[ds.ids[0]]
+    assert len(anns) == len(segments)
+    areas = {a["category_id"]: a["area"] for a in anns}
+    assert areas[100] > 0                      # stuff background present
+    # things_only drops the stuff segment
+    ds_things = CocoPanopticDataset(os.path.join(root, "data"),
+                                    os.path.join(root, "panoptic"),
+                                    os.path.join(root, "panoptic.json"),
+                                    image_size=64, max_boxes=8,
+                                    things_only=True)
+    assert ds_things.num_classes == 3
+
+
 def test_panoptic_dataset_batches_through_loader(tmp_path):
     from vit_torch_tpu.detection.coco_data import CocoLoader
     from vit_torch_tpu.detection.panoptic_data import CocoPanopticDataset

@@ -209,3 +209,65 @@ class CocoPanopticDataset:
         crowd = {s["id"] for s in ann["segments_info"]
                  if s.get("iscrowd", 0)}
         return gt_map, segments, crowd
+
+
+def make_synthetic_panoptic(root: str, n_images: int = 8, size: int = 64,
+                            n_thing_classes: int = 3, seed: int = 0) -> str:
+    """Write one synthetic panoptic split (``root/{data,panoptic,
+    panoptic.json}``) — the panoptic twin of
+    ``coco_data.make_synthetic_coco``: bright axis-aligned rectangles are
+    *thing* segments, all remaining pixels one *stuff* "background"
+    segment, so PQ has both halves (SQ over things, the stuff segment's
+    IoU) with exact ground truth.  Returns ``root``."""
+    import json as _json
+
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, "data")
+    pan_dir = os.path.join(root, "panoptic")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(pan_dir, exist_ok=True)
+    BG_CAT = 100                       # stuff category id
+    images, annotations = [], []
+    for i in range(n_images):
+        img = (rng.normal(40, 15, (size, size, 3))).clip(0, 255)
+        id_map = np.ones((size, size), np.int32)       # background segment
+        segments = [{"id": 1, "category_id": BG_CAT, "iscrowd": 0}]
+        for j in range(int(rng.integers(1, 4))):
+            cls = int(rng.integers(0, n_thing_classes))
+            bw = int(rng.integers(8, size // 2))
+            bh = int(rng.integers(8, size // 2))
+            x = int(rng.integers(0, size - bw))
+            y = int(rng.integers(0, size - bh))
+            color = np.zeros(3)
+            color[cls % 3] = 200 + 55 * (cls // 3)
+            img[y:y + bh, x:x + bw] = color
+            sid = j + 2                # later rectangles overwrite earlier
+            id_map[y:y + bh, x:x + bw] = sid
+            segments.append({"id": sid, "category_id": cls + 1,
+                             "iscrowd": 0})
+        # drop segments fully occluded by later rectangles
+        live = set(np.unique(id_map).tolist())
+        segments = [s for s in segments if s["id"] in live]
+        for s in segments:
+            m = id_map == s["id"]
+            s["area"] = int(m.sum())
+            box = masks_to_boxes(m[None].astype(np.uint8))[0]
+            s["bbox"] = [float(box[0]), float(box[1]),
+                         float(box[2] - box[0]), float(box[3] - box[1])]
+        name = f"{i + 1:06d}"
+        Image.fromarray(img.astype(np.uint8)).save(
+            os.path.join(img_dir, name + ".jpg"))
+        Image.fromarray(id2rgb(id_map)).save(
+            os.path.join(pan_dir, name + ".png"))
+        images.append({"id": i + 1, "file_name": name + ".jpg",
+                       "height": size, "width": size})
+        annotations.append({"image_id": i + 1, "file_name": name + ".png",
+                            "segments_info": segments})
+    categories = [{"id": c + 1, "name": f"class{c}", "isthing": 1}
+                  for c in range(n_thing_classes)]
+    categories.append({"id": BG_CAT, "name": "background", "isthing": 0})
+    with open(os.path.join(root, "panoptic.json"), "w") as f:
+        _json.dump({"images": images, "annotations": annotations,
+                    "categories": categories}, f)
+    return root
