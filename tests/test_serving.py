@@ -375,6 +375,46 @@ def test_multi_device_detector_export(tmp_path):
         np.testing.assert_allclose(out[k], live[k], atol=1e-4, rtol=1e-4)
 
 
+def test_export_detector_keypoints(tmp_path):
+    """Keypoint R-CNN bundles carry decoded keypoints end-to-end."""
+    from vit_torch_tpu.detection.engine import FasterRCNNTrainer
+    from vit_torch_tpu.detection.faster_rcnn import (
+        FasterRCNN, FasterRCNNConfig)
+    from vit_torch_tpu.models.resnet import RESNET_CONFIGS, ResNet
+    from vit_torch_tpu.serving import export_detector
+
+    size = 64
+    cfg = FasterRCNNConfig(
+        num_classes=3, image_size=size, strides=(4, 8),
+        anchor_sizes=(8.0, 16.0), num_proposals=16,
+        rpn_pre_nms_topk=32, rpn_batch=16, roi_batch=8, detections=8,
+        num_keypoints=5, kp_conv_channels=(8,), kp_rois=8)
+    backbone = ResNet(RESNET_CONFIGS["resnet_test"], features_only=True,
+                      name="backbone")
+    model = FasterRCNN(cfg, backbone)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, size, size, 3)),
+                           deterministic=True)
+    tr = FasterRCNNTrainer(model, variables["params"], cfg=cfg, lr=0.01,
+                           augment=False)
+    tr.model_state = {k: v for k, v in variables.items() if k != "params"}
+    exported = export_detector(tr, image_size=size, batch_sizes=[2])
+    save_bundle(str(tmp_path), exported)
+    served = load_bundle(str(tmp_path))
+    batch = {
+        "image": np.random.default_rng(5).integers(
+            0, 255, (2, size, size, 3), dtype=np.uint8),
+        "scale": np.ones((2,), np.float32),
+        "pad": np.zeros((2, 2), np.float32),
+    }
+    out = served.predict_tree(batch)
+    assert "keypoints" in out
+    assert out["keypoints"].shape == (2, cfg.detections, 5, 3)
+    live = jax.device_get(tr._predict(tr.params, batch))
+    np.testing.assert_allclose(out["keypoints"], live["keypoints"],
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_letterbox_images_matches_training_loader():
     """Serving-side letterbox must reproduce the training loader's
     geometry bit-for-bit (same letterbox_params, pad value, resize)."""
