@@ -473,6 +473,21 @@ def test_auction_matches_scipy_hungarian():
     assert worst < 0.5, worst
 
 
+def test_auction_terminates_when_gts_outnumber_queries():
+    """n_valid > Q: all-gts-assigned is unsatisfiable — the loop must stop
+    once min(n_valid, Q) gts are matched, not spin to max_iters."""
+    from vit_torch_tpu.detection.matcher import auction_assign
+    rng = np.random.default_rng(0)
+    Q, N = 4, 10
+    cost = rng.normal(0, 5, (Q, N)).astype(np.float32)
+    mask = np.ones((N,), np.float32)                  # 10 valid gts, 4 queries
+    a = np.asarray(auction_assign(jnp.asarray(cost), jnp.asarray(mask),
+                                  max_iters=100_000))
+    matched = a[a >= 0]
+    assert len(matched) == Q                          # every query owned
+    assert len(set(matched.tolist())) == Q            # distinct gts
+
+
 def _tiny_detr_trainer(matcher):
     import dataclasses
     from vit_torch_tpu.detection.detr import DETR, DETRConfig

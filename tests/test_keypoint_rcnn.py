@@ -28,6 +28,21 @@ def test_keypoints_to_heatmap_targets():
     assert int(idx[0, 2]) == 2 * 4 + 2                      # bin (2, 2)
 
 
+def test_keypoints_on_far_box_edge_stay_valid():
+    """kx == x2 / ky == y2 remap to the last bin, still supervised
+    (torchvision's x_boundary_inds semantics) — tight boxes around corner
+    keypoints must not drop them."""
+    from vit_torch_tpu.detection.keypoint import keypoints_to_heatmap_targets
+    box = jnp.asarray([[10.0, 20.0, 30.0, 60.0]])
+    kps = jnp.asarray([[[30.0, 60.0, 2.0],                  # far corner
+                        [30.0, 20.0, 2.0],                  # right edge, top
+                        [30.1, 40.0, 2.0]]])                # just outside
+    idx, valid = keypoints_to_heatmap_targets(kps, box, 4)
+    np.testing.assert_array_equal(np.asarray(valid[0]), [1, 1, 0])
+    assert int(idx[0, 0]) == 15                             # bin (3, 3)
+    assert int(idx[0, 1]) == 3                              # bin (0, 3)
+
+
 def test_heatmaps_to_keypoints_roundtrip():
     from vit_torch_tpu.detection.keypoint import heatmaps_to_keypoints
     HM, K = 8, 3

@@ -15,8 +15,7 @@ decoder losses are matched per-layer exactly like the reference criterion.
 from __future__ import annotations
 
 import sys
-import time
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -130,7 +129,7 @@ def _pq_update(pq, coco_gt, img_id: int, pred: Dict[str, np.ndarray]) -> None:
 class DetectionTrainer:
     def __init__(self, model, params, *, image_size: int, num_classes: int,
                  lr: float = 1e-4, weight_decay: float = 1e-4,
-                 warmup_steps: int = 0, grad_clip: float = 0.1,
+                 warmup_steps: int = 1000, grad_clip: float = 0.1,
                  masks: bool = False, augment: bool = False,
                  aug_crop: bool = False, aug_erase: bool = False,
                  matcher: str = "host",
@@ -159,6 +158,7 @@ class DetectionTrainer:
         self.aug_crop = aug_crop
         self.aug_erase = aug_erase
         self.matcher = matcher
+        self.warmup_steps = max(int(warmup_steps), 1)
         self.rng = jax.random.PRNGKey(0)
         self.norm = norm_values or NORM_VALUES["imagenet"]
         if opt == "sgd":
@@ -225,7 +225,15 @@ class DetectionTrainer:
         def forward_costs(params, batch, rng):
             raw, boxes, box_mask, _ = _augmented(batch, rng)
             images = normalize(raw, **norm)
-            outputs = model.apply({"params": params}, images, True)
+            # the TRAINING forward (same drop_rng fold as train_step's
+            # loss_fn → bit-identical activations): the host Hungarian must
+            # match on the same predictions the losses optimize (reference
+            # object_detr/engine.py matches inside the train forward), and
+            # deterministic=False keeps the int8 serving path (VITX_W8A8)
+            # out of training even with the env flag set
+            drop_rng = jax.random.fold_in(rng, 1)
+            outputs = model.apply({"params": params}, images, False,
+                                  rngs={"dropout": drop_rng})
             targets = _prep_targets(batch, image_size, boxes=boxes,
                                     box_mask=box_mask)
             layers = outputs.get("aux_outputs", []) + [outputs]
@@ -398,7 +406,7 @@ class DetectionTrainer:
         count = 0
         for i, batch in enumerate(loader):
             if warmup and epoch == 0:
-                frac = (i + 1) / max(min(n_batches, 1000), 1)
+                frac = (i + 1) / max(min(n_batches, self.warmup_steps), 1)
                 self.set_lr(self.base_lr * min(frac, 1.0))
             self.rng, step_rng = jax.random.split(self.rng)
             dev_batch = (_shard_batch(batch, self.mesh)
@@ -497,7 +505,7 @@ class DetectionTrainer:
 
         for batch in loader:
             if warmup and epoch == 0:
-                frac = (done + len(buf) + 1) / max(min(n_batches, 1000), 1)
+                frac = (done + len(buf) + 1) / max(min(n_batches, self.warmup_steps), 1)
                 self.set_lr(self.base_lr * min(frac, 1.0))
             buf.append(batch)
             if len(buf) == steps_per_dispatch:

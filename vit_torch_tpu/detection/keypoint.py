@@ -61,6 +61,8 @@ def kp_flip_inds_from_names(names) -> Tuple[int, ...]:
     swap = {"left": "right", "right": "left", "l": "r", "r": "l"}
 
     def mirror(n):
+        if not n:                              # malformed schema entry:
+            return n                           # degrade to identity
         toks = re.split(r"([_\-. ])", n)       # keep delimiters
         for i, t in enumerate(toks):
             if t.lower() in swap:
@@ -120,6 +122,11 @@ def keypoints_to_heatmap_targets(keypoints: jnp.ndarray, boxes: jnp.ndarray,
     kx, ky, kv = (keypoints[..., i] for i in range(3))
     bx = jnp.floor((kx - x1[..., None]) / w[..., None] * heatmap_size)
     by = jnp.floor((ky - y1[..., None]) / h[..., None] * heatmap_size)
+    # keypoints exactly on the far box edge land in the last bin, still
+    # valid (torchvision's x_boundary_inds remap) — tight boxes around
+    # corner keypoints must not lose their supervision
+    bx = jnp.where(kx == x2[..., None], heatmap_size - 1, bx)
+    by = jnp.where(ky == y2[..., None], heatmap_size - 1, by)
     inside = (bx >= 0) & (bx < heatmap_size) & (by >= 0) & (by < heatmap_size)
     valid = (inside & (kv > 0)).astype(jnp.float32)
     bx = jnp.clip(bx, 0, heatmap_size - 1).astype(jnp.int32)

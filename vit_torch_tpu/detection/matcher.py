@@ -34,7 +34,6 @@ def cost_matrices(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
     Padded gt slots get +inf-like cost so they are never chosen before real
     ones; the host assignment only considers the first n_gt columns anyway.
     """
-    import jax
     prob = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)
     # class cost: -prob[target_class]
     cls_cost = -jnp.take_along_axis(
@@ -80,10 +79,15 @@ def auction_assign(cost: jnp.ndarray, box_mask: jnp.ndarray,
     q_ids = jnp.arange(Q)
     spread = jnp.maximum(jnp.max(benefit) - jnp.min(benefit), 1e-6)
     eps = spread * eps_frac
+    # at most min(n_valid, Q) gts CAN be assigned: with more valid gts
+    # than queries, requiring every valid gt assigned would spin the full
+    # max_iters every step (unsatisfiable cond)
+    target = jnp.minimum(jnp.sum(valid.astype(jnp.int32)), Q)
 
     def cond(s):
         _, _, item_of_gt, it = s
-        return jnp.any((item_of_gt < 0) & valid) & (it < max_iters)
+        n_assigned = jnp.sum(((item_of_gt >= 0) & valid).astype(jnp.int32))
+        return (n_assigned < target) & (it < max_iters)
 
     def body(s):
         prices, owner, item_of_gt, it = s
