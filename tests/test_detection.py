@@ -290,6 +290,61 @@ def test_coco_evaluator_segm():
     assert out["segm"]["ap"] > 0.99
 
 
+def test_segm_buckets_by_mask_area_not_box_area():
+    """A thin object with a big box but a small mask must score in the
+    segm 'small' bucket (pycocotools buckets segm dts by MASK area)."""
+    seg = [[0, 0, 9, 0, 9, 9, 0, 9]]           # 10x10 mask = 100 px: small
+    gt = COCO(dataset={
+        "images": [{"id": 1, "height": 200, "width": 200}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1,
+             "bbox": [0, 0, 150, 150], "area": 100, "iscrowd": 0,
+             "segmentation": seg},
+        ],
+        "categories": [{"id": 1, "name": "a"}],
+    })
+    # dt: same tiny mask, same huge 150x150 box (area 22500: 'large')
+    mask = np.zeros((1, 200, 200), np.uint8)
+    mask[0, 0:10, 0:10] = 1
+    evaluator = CocoEvaluator(gt, ["segm"])
+    evaluator.update({1: {"boxes": np.asarray([[0, 0, 150, 150]]),
+                          "scores": np.asarray([0.9]),
+                          "labels": np.asarray([1]),
+                          "masks": mask}})
+    evaluator.accumulate()
+    out = evaluator.summarize()
+    assert out["segm"]["ap"] > 0.99
+    assert out["segm"]["aps"] > 0.99           # scored in the small bucket
+    assert out["segm"]["apl"] == -1.0          # nothing lands in 'large'
+
+
+def test_keypoint_gt_without_labeled_kps_is_ignored():
+    """gts with num_keypoints == 0 are ignore under the kp protocol —
+    not false negatives (pycocotools _prepare)."""
+    kps_a = [10.0, 10.0, 2, 20.0, 20.0, 2, 30.0, 30.0, 2]
+    kps_none = [0.0, 0.0, 0, 0.0, 0.0, 0, 0.0, 0.0, 0]
+    gt = COCO(dataset={
+        "images": [{"id": 1, "height": 100, "width": 100}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1,
+             "bbox": [5, 5, 30, 30], "area": 900, "iscrowd": 0,
+             "keypoints": kps_a, "num_keypoints": 3},
+            {"id": 2, "image_id": 1, "category_id": 1,
+             "bbox": [50, 50, 30, 30], "area": 900, "iscrowd": 0,
+             "keypoints": kps_none, "num_keypoints": 0},
+        ],
+        "categories": [{"id": 1, "name": "person"}],
+    })
+    dts = [{"image_id": 1, "category_id": 1, "score": 0.9,
+            "bbox": [5, 5, 30, 30], "keypoints": kps_a}]
+    ev = COCOeval(gt, gt.load_res(dts), "keypoints")
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize()
+    # the unlabeled gt must not count as a miss: AR == 1, not 0.5
+    assert stats[5] > 0.99, stats
+
+
 def test_rasterize_rle_respects_letterbox():
     """RLE gt masks must land where the letterboxed image/boxes land
     (regression: the RLE branch used to stretch to the full canvas)."""

@@ -39,8 +39,10 @@ def test_mha_attention_map_shapes():
     variables = m.init(jax.random.PRNGKey(0), q, mem)
     out = m.apply(variables, q, mem)
     assert out.shape == (2, 5, 4, 8, 8)
-    # softmax over space
-    np.testing.assert_allclose(np.asarray(out.sum(axis=(-1, -2))), 1.0,
+    # reference MHAttentionMap: softmax JOINTLY over heads x H x W (the
+    # flatten(2) softmax) — per query the total weight across all heads
+    # and positions sums to 1, not per head
+    np.testing.assert_allclose(np.asarray(out.sum(axis=(-1, -2, -3))), 1.0,
                                atol=1e-5)
 
 

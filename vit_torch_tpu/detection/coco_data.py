@@ -280,7 +280,7 @@ def make_synthetic_coco(tmp_dir: str, n_images: int = 8, size: int = 64,
             x = int(rng.integers(0, size - bw))
             y = int(rng.integers(0, size - bh))
             color = np.zeros(3)
-            color[cls % 3] = 200 + 55 * (cls // 3)
+            color[cls % 3] = min(200 + 55 * (cls // 3), 255)  # no uint8 wrap
             img[y:y + bh, x:x + bw] = color
             ann = {
                 "id": ann_id, "image_id": i + 1, "category_id": cls + 1,

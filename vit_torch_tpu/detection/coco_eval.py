@@ -15,7 +15,6 @@ IoU computation is delegated to the native library (csrc/maskops.cpp) via
 
 from __future__ import annotations
 
-import copy
 import json
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence
@@ -69,8 +68,12 @@ class COCO:
             if "bbox" in ann and "area" not in ann:
                 x, y, w, h = ann["bbox"]
                 ann["area"] = w * h
-            if "segmentation" in ann and "area" not in ann:
-                ann["area"] = _mask.area(ann["segmentation"])
+            if "segmentation" in ann:
+                # one result dict serves every iou type (unlike pycocotools'
+                # per-type loadRes), so the MASK area rides in its own key —
+                # segm eval must bucket by mask area, not box area
+                ann["area_segm"] = _mask.area(ann["segmentation"])
+                ann.setdefault("area", ann["area_segm"])
             if "keypoints" in ann and "bbox" not in ann:
                 # pycocotools loadRes: bbox/area from the keypoint extent
                 kp = np.asarray(ann["keypoints"], np.float64).reshape(-1, 3)
@@ -187,15 +190,28 @@ class COCOeval:
             return segm
         return _mask.poly_to_rle(segm, h, w)
 
+    def _gt_ignored(self, g, area_rng) -> int:
+        ig = int(g.get("iscrowd", 0)) or \
+            not (area_rng[0] <= g.get("area", 0) <= area_rng[1])
+        if self.iou_type == "keypoints" and not ig:
+            # pycocotools kp protocol: gts with zero labeled keypoints are
+            # ignore, not false negatives
+            nk = g.get("num_keypoints")
+            if nk is None and "keypoints" in g:
+                kp = np.asarray(g["keypoints"], np.float64).reshape(-1, 3)
+                nk = int((kp[:, 2] > 0).sum())
+            ig = nk == 0 if nk is not None else ig
+        return int(bool(ig))
+
     def _evaluate_img(self, img_id, cat_id, area_rng, ious):
         gts, dts = self._gt_dt(img_id, cat_id)
         if not gts and not dts:
             return None
-        for g in gts:
-            g["_ignore"] = int(g.get("iscrowd", 0)) or \
-                not (area_rng[0] <= g.get("area", 0) <= area_rng[1])
+        # ignore flags are LOCAL (pycocotools mutates gt dicts with
+        # '_ignore'; we must not corrupt the caller's annotations)
+        ig = np.asarray([self._gt_ignored(g, area_rng) for g in gts])
         # gts sorted: non-ignored first (stable)
-        gt_order = np.argsort([g["_ignore"] for g in gts], kind="stable")
+        gt_order = np.argsort(ig, kind="stable")
         gts = [gts[i] for i in gt_order]
         dts = sorted(dts, key=lambda d: -d.get("score", 0))[:self.max_dets[-1]]
         iou = ious[:, gt_order] if len(ious) else ious
@@ -204,7 +220,7 @@ class COCOeval:
         G, D = len(gts), len(dts)
         gt_match = np.zeros((T, G), np.int64)
         dt_match = np.zeros((T, D), np.int64)
-        gt_ignore = np.asarray([g["_ignore"] for g in gts])
+        gt_ignore = ig[gt_order] if G else ig
         dt_ignore = np.zeros((T, D))
         for ti, thr in enumerate(self.iou_thrs):
             for di in range(D):
@@ -224,10 +240,16 @@ class COCOeval:
                 dt_ignore[ti, di] = gt_ignore[best]
                 dt_match[ti, di] = gts[best]["id"]
                 gt_match[ti, best] = dts[di]["id"]
-        # dts outside the area range and unmatched are ignored
+        # dts outside the area range and unmatched are ignored — segm eval
+        # buckets by MASK area (area_segm; pycocotools loadRes semantics)
+        def dt_area(d):
+            if self.iou_type == "segm" and "area_segm" in d:
+                return d["area_segm"]
+            return d.get("area", d["bbox"][2] * d["bbox"][3]
+                         if "bbox" in d else 0)
+
         dt_out = np.asarray([
-            not (area_rng[0] <= d.get("area", d["bbox"][2] * d["bbox"][3]
-                                      if "bbox" in d else 0) <= area_rng[1])
+            not (area_rng[0] <= dt_area(d) <= area_rng[1])
             for d in dts]) if D else np.zeros(0, bool)
         dt_ignore = np.logical_or(
             dt_ignore, np.logical_and(dt_match == 0, dt_out[None, :].repeat(T, 0))
@@ -264,8 +286,6 @@ class COCOeval:
                 results = [r for r in results if r is not None]
                 if not results:
                     continue
-                scores = np.concatenate([r["dt_scores"] for r in results])
-                order = np.argsort(-scores, kind="mergesort")
                 num_gt = sum(r["num_gt"] for r in results)
                 if num_gt == 0:
                     continue

@@ -101,7 +101,7 @@ class CocoPanopticDataset:
             self._coco = self.instance_gt()
         return self._coco
 
-    def _segment_masks(self, ann: dict, scale, pad_x, pad_y, nh, nw):
+    def _segment_masks(self, ann: dict, pad_x, pad_y, nh, nw):
         """Decode the segment PNG and cut per-segment letterboxed masks."""
         from PIL import Image
         png = np.asarray(Image.open(
@@ -122,8 +122,11 @@ class CocoPanopticDataset:
         ann = self.anns.get(img_id)
         info = self.imgs[img_id]
         # panoptic file_name is the PNG name; the image is the .jpg twin
-        img_name = info.get("file_name",
-                            ann["file_name"].replace(".png", ".jpg"))
+        # (dict.get's default evaluates eagerly — ann can be None on an
+        # images-only split, so branch explicitly)
+        img_name = info.get("file_name")
+        if img_name is None:
+            img_name = ann["file_name"].replace(".png", ".jpg")
         if img_name.endswith(".png"):
             img_name = img_name.replace(".png", ".jpg")
         img = np.asarray(Image.open(
@@ -141,7 +144,7 @@ class CocoPanopticDataset:
         box_mask = np.zeros((self.max_boxes,), np.float32)
         masks = np.zeros((self.max_boxes, S, S), np.uint8)
         if ann is not None:
-            seg_map = self._segment_masks(ann, scale, pad_x, pad_y, nh, nw)
+            seg_map = self._segment_masks(ann, pad_x, pad_y, nh, nw)
             segments = [s for s in ann["segments_info"]
                         if s["category_id"] in self.cat_to_label]
             for i, seg in enumerate(segments[:self.max_boxes]):
@@ -240,7 +243,10 @@ def make_synthetic_panoptic(root: str, n_images: int = 8, size: int = 64,
             x = int(rng.integers(0, size - bw))
             y = int(rng.integers(0, size - bh))
             color = np.zeros(3)
-            color[cls % 3] = 200 + 55 * (cls // 3)
+            # clamp: cls >= 6 would exceed 255 and wrap dark under the
+            # uint8 cast (same formula as make_synthetic_coco, which only
+            # ever sees <= 3 classes)
+            color[cls % 3] = min(200 + 55 * (cls // 3), 255)
             img[y:y + bh, x:x + bw] = color
             sid = j + 2                # later rectangles overwrite earlier
             id_map[y:y + bh, x:x + bw] = sid

@@ -34,6 +34,15 @@ class PQStat:
         """Accumulate one image.  ``*_segments`` map segment id →
         category id; id 0 / missing ids are void."""
         crowd_ids = set(crowd_ids)
+        # panopticapi remaps unlabeled pixels to VOID when rasterizing;
+        # here gt_map may carry ids missing from gt_segments (e.g. a
+        # category-filtered gt dict) — fold them into VOID so unions and
+        # the FP void-fraction rule see them as void, per the docstring
+        if gt_segments:
+            known = np.asarray(list(gt_segments) + [VOID])
+            gt_map = np.where(np.isin(gt_map, known), gt_map, VOID)
+        else:
+            gt_map = np.full_like(gt_map, VOID)
         gt_area = {sid: int(a) for sid, a in
                    zip(*np.unique(gt_map, return_counts=True))}
         pred_area = {sid: int(a) for sid, a in

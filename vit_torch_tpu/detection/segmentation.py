@@ -55,7 +55,10 @@ class MHAttentionMap(nn.Module):
         kp = kp.reshape(B, Hf * Wf, H, d)
         logits = jnp.einsum("bqhd,bkhd->bqhk", qp, kp,
                             preferred_element_type=jnp.float32) * (d ** -0.5)
-        weights = jax.nn.softmax(logits, axis=-1)
+        # reference MHAttentionMap normalizes JOINTLY over heads x H x W
+        # (softmax of weights.flatten(2)) — per-head softmax would give
+        # every head the same total weight and diverge from checkpoints
+        weights = jax.nn.softmax(logits.reshape(B, Q, H * Hf * Wf), axis=-1)
         return weights.reshape(B, Q, H, Hf, Wf).astype(self.dtype)
 
 
