@@ -156,3 +156,22 @@ def test_load_torch_state_dict_unwraps(tmp_path, torch_vit):
     loaded = load_torch_state_dict(fp)
     assert "cls_token" in loaded
     assert not any(k.startswith("module.") for k in loaded)
+
+
+def test_load_dino_full_checkpoint_with_namespace(tmp_path, torch_vit):
+    """DINO *full* checkpoints pickle an argparse.Namespace next to the
+    weights; strict weights_only loading rejects it, so the loader must
+    allowlist that type and still unwrap teacher/backbone (round-3
+    review — previously UnpicklingError before the unwrap ran)."""
+    import argparse
+    sd = torch_vit.state_dict()
+    full = {
+        "teacher": {f"module.backbone.{k}": v for k, v in sd.items()},
+        "args": argparse.Namespace(arch="vit_base", patch_size=8),
+        "epoch": 99,
+    }
+    fp = str(tmp_path / "dino_full.pth")
+    torch.save(full, fp)
+    loaded = load_torch_state_dict(fp)
+    assert "cls_token" in loaded
+    assert not any(k.startswith(("module.", "backbone.")) for k in loaded)

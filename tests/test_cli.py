@@ -76,3 +76,29 @@ def test_coco_cli_flag_guards():
     with pytest.raises(SystemExit):
         coco_main(base + ["--head", "detr", "--mesh", "data=8",
                           "--bs", "12"])
+    # --masks with the box-only FRCNN head would KeyError at eval time
+    with pytest.raises(SystemExit):
+        coco_main(base + ["--head", "faster_rcnn", "--masks"])
+
+
+def test_coco_cli_panoptic_test_implies_masks(monkeypatch):
+    """--panoptic_root --test must smoke the mask path (masks implied),
+    not silently run a bbox-only DETR."""
+    import pytest
+    import vit_torch_tpu.detection.engine as engine_mod
+    from vit_torch_tpu.cli.coco import main as coco_main
+
+    seen = {}
+
+    class _Abort(Exception):
+        pass
+
+    def spy_trainer(model, params, **kw):
+        seen.update(kw)
+        raise _Abort
+
+    monkeypatch.setattr(engine_mod, "DetectionTrainer", spy_trainer)
+    with pytest.raises(_Abort):
+        coco_main(["--test", "--device", "cpu",
+                   "--panoptic_root", "/nonexistent"])
+    assert seen["masks"] is True

@@ -9,13 +9,19 @@ rng) plus run metadata; restore rebuilds onto the current sharding layout
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Any, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import orbax.checkpoint as ocp
 
 from vit_torch_tpu.train.steps import TrainState
+
+#: subdirectory holding an eviction-proof copy of the best-val checkpoint
+#: (recency-based ``max_to_keep`` would otherwise garbage-collect the best
+#: step once newer periodic saves exist)
+BEST_SUBDIR = "best"
 
 
 def _manager(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
@@ -25,12 +31,39 @@ def _manager(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
                                              create=True))
 
 
+def _metrics_path(ckpt_dir: str) -> str:
+    return os.path.join(os.path.abspath(ckpt_dir), "metrics.json")
+
+
+def saved_metrics(ckpt_dir: str) -> Dict[int, dict]:
+    """Per-step metrics recorded by ``save_checkpoint`` (orbax itself does
+    not persist save-time metrics across manager instances)."""
+    path = _metrics_path(ckpt_dir)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return {int(k): v for k, v in json.load(f).items()}
+
+
+def best_saved_metric(ckpt_dir: str, key: str = "val_acc") -> Optional[float]:
+    """Best recorded value of ``key`` across all saves (including steps that
+    recency retention has since deleted) — used to re-seed the trainer's
+    best-val tracking on resume."""
+    vals = [m[key] for m in saved_metrics(ckpt_dir).values() if key in m]
+    return max(vals) if vals else None
+
+
 def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
                     metrics: Optional[dict] = None,
                     max_to_keep: int = 3) -> None:
     with _manager(ckpt_dir, max_to_keep) as mgr:
         mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
         mgr.wait_until_finished()
+    if metrics:
+        record = {str(k): v for k, v in saved_metrics(ckpt_dir).items()}
+        record[str(step)] = metrics
+        with open(_metrics_path(ckpt_dir), "w") as f:
+            json.dump(record, f)
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:

@@ -40,7 +40,15 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     reference loads the hub backbone, which is the ``backbone.`` subtree).
     """
     import torch
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # DINO *full* checkpoints pickle an argparse.Namespace alongside the
+        # weights, which strict weights_only loading rejects.  Allowlist just
+        # that type (still no arbitrary-code unpickling) and retry.
+        import argparse
+        with torch.serialization.safe_globals([argparse.Namespace]):
+            sd = torch.load(path, map_location="cpu", weights_only=True)
     for wrapper in ("model", "state_dict", "teacher"):
         if wrapper in sd and isinstance(sd[wrapper], dict):
             sd = sd[wrapper]

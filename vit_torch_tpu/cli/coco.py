@@ -168,6 +168,13 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     if args.panoptic_root and args.head == "faster_rcnn":
         raise SystemExit("--panoptic_root requires --head detr (the "
                          "faster_rcnn head produces no mask predictions)")
+    if args.masks and args.head == "faster_rcnn":
+        raise SystemExit("--masks requires --head detr (the faster_rcnn "
+                         "head produces no mask predictions)")
+    if args.panoptic_root:
+        # panoptic segments train the mask head in BOTH real and --test
+        # runs (the real-data branch below additionally swaps the dataset)
+        args.masks = True
     if args.test:
         import tempfile
         tmp = tempfile.mkdtemp(prefix="coco_smoke_")
@@ -202,7 +209,6 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         # panoptic-PNG dataset (reference --dataset_file coco_panoptic);
         # segments train the mask head, eval runs on the instance-gt view
         from vit_torch_tpu.detection.panoptic_data import CocoPanopticDataset
-        args.masks = True
 
         def _pan(split, limit):
             root = os.path.join(args.panoptic_root, split)

@@ -69,7 +69,8 @@ def main(argv: Optional[Sequence[str]] = None) -> Stats:
         from vit_torch_tpu.checkpoint.torch_import import load_pretrained_params
         init_params = load_pretrained_params(
             zoo_model, image_size=data.image_size,
-            torch_ckpt=args["torch_ckpt"] or None, seed=args["seed"])
+            torch_ckpt=args["torch_ckpt"] or None, seed=args["seed"],
+            image_channels=image_channels)
 
     stats = Stats(
         splits=("train", "val"), stats_fp=args["stats_fp"], info=A.info,

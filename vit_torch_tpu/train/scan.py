@@ -161,7 +161,9 @@ def cache_backbone_features(backbone_apply: Callable, backbone_params: Any,
     @jax.jit
     def run(images_dev, idx):
         def one(carry, batch_idx):
-            x = eval_transform(images_dev[batch_idx])
+            x = images_dev[batch_idx]
+            if eval_transform is not None:
+                x = eval_transform(x)
             feats = backbone_apply(variables, x, True)
             return carry, feats
         _, feats = jax.lax.scan(one, None, idx)

@@ -136,16 +136,25 @@ class Trainer:
             self.eval_step = make_eval_step(apply_fn,
                                             eval_transform=eval_transform)
 
+        # best-val tracking persists across resume: without re-seeding, the
+        # first post-resume epoch would always rank as a fresh "best" and
+        # could push the real best checkpoint toward max_to_keep eviction
+        self.best_acc = -1.0
         if resume:
             from vit_torch_tpu.checkpoint.orbax_io import (
-                latest_step, restore_checkpoint)
+                best_saved_metric, latest_step, restore_checkpoint)
             self.state = restore_checkpoint(resume, self.state)
             # resume at the epoch after the last completed one; the epoch
             # index is stored as the checkpoint step (note: step 0 is valid)
             last = latest_step(resume)
             self.start_epoch = (last if last is not None else -1) + 1
+            prev_best = best_saved_metric(resume)
+            if prev_best is not None:
+                self.best_acc = prev_best
             if self.print_progress:
-                print(f"resumed from {resume} at epoch {self.start_epoch}")
+                print(f"resumed from {resume} at epoch {self.start_epoch}"
+                      + (f" (best val_acc so far {prev_best:.4f})"
+                         if prev_best is not None else ""))
 
     # ------------------------------------------------------------------
     def run_one_epoch(self, loader: Iterable, training: bool) -> Dict[str, float]:
@@ -215,10 +224,41 @@ class Trainer:
         return self._debug_predict_fn(self.state, batch)
 
     # ------------------------------------------------------------------
+    def _maybe_checkpoint(self, epoch: int, val_acc: float,
+                          state: Optional[TrainState] = None) -> None:
+        """Shared best/periodic checkpoint policy for both training loops.
+        Saves to ``ckpt_dir`` (recency-retained, resume-from-latest) and
+        mirrors new bests into ``ckpt_dir/best`` (max_to_keep=1) so the best
+        weights survive recency eviction.  ``state`` overrides ``self.state``
+        for paths whose live state is not the full checkpointable tree (the
+        cached linear-eval loop)."""
+        if not self.ckpt_dir:
+            return
+        is_best = val_acc > self.best_acc
+        self.best_acc = max(self.best_acc, val_acc)
+        if not (is_best or (self.save_every
+                            and epoch % self.save_every == 0)):
+            return
+        from vit_torch_tpu.checkpoint.orbax_io import (
+            BEST_SUBDIR, save_checkpoint)
+        st = self.state if state is None else state
+        save_checkpoint(self.ckpt_dir, st, epoch,
+                        metrics={"val_acc": val_acc})
+        if is_best:
+            save_checkpoint(os.path.join(self.ckpt_dir, BEST_SUBDIR), st,
+                            epoch, metrics={"val_acc": val_acc},
+                            max_to_keep=1)
+
+    def _seed_val_accs(self) -> list:
+        """Early-stop history seed: after resume the per-epoch history is
+        gone, but including the best pre-resume accuracy keeps the
+        no-improvement window honest (max(val_accs) spans the whole run)."""
+        return [self.best_acc] if self.best_acc > -1.0 else []
+
+    # ------------------------------------------------------------------
     def fit(self, loaders: Dict[str, Any]) -> Stats:
         S = self.stats
-        val_accs = []
-        best_acc = -1.0
+        val_accs = self._seed_val_accs()
         for epoch in range(self.start_epoch, self.epochs):
             lr = self.base_lr * self.lr_factor_fn(epoch)
             self.state = set_learning_rate(self.state, lr)
@@ -233,15 +273,7 @@ class Trainer:
                     S.print(force=True, end="\n")
                 if split == "val":
                     val_accs.append(final["acc"])
-                    if self.ckpt_dir:
-                        is_best = final["acc"] > best_acc
-                        best_acc = max(best_acc, final["acc"])
-                        if is_best or (self.save_every
-                                       and epoch % self.save_every == 0):
-                            from vit_torch_tpu.checkpoint.orbax_io import (
-                                save_checkpoint)
-                            save_checkpoint(self.ckpt_dir, self.state, epoch,
-                                            metrics={"val_acc": final["acc"]})
+                    self._maybe_checkpoint(epoch, final["acc"])
             # early stop (reference semantics; the --earlystop_epoch flag is
             # honored, fixing the reference's shadow-default bug)
             if should_early_stop(val_accs, self.earlystop_epoch):
@@ -311,9 +343,21 @@ class Trainer:
         train_run = make_scan_train_fn(head_apply, self.tx, None)
         eval_run = make_scan_eval_fn(head_apply, None,
                                      with_preds=_debug_eval_on())
+
+        def ckpt_state() -> TrainState:
+            # checkpoint the FULL lineareval state (frozen backbone + live
+            # head + head opt_state), not the temporary head-only inner
+            # state — saved checkpoints must stay structurally compatible
+            # with the resume template built in __init__ (both optimizer
+            # states cover the same {'head': ...} tree, so the transplant
+            # is structural-identity)
+            return outer_state.replace(
+                params={**outer_state.params, **self.state.params},
+                opt_state=self.state.opt_state, step=self.state.step)
+
         try:
             stats = self._scan_epoch_loop(train_run, eval_run, device_sets,
-                                          batch_size)
+                                          batch_size, ckpt_state_fn=ckpt_state)
         finally:
             head_params = self.state.params["head"]
             self.state = outer_state.replace(
@@ -321,13 +365,12 @@ class Trainer:
         return stats
 
     def _scan_epoch_loop(self, train_run, eval_run, device_sets,
-                         batch_size: int) -> Stats:
+                         batch_size: int, ckpt_state_fn=None) -> Stats:
         from vit_torch_tpu.train.scan import epoch_indices
-        rng = __import__("numpy").random.default_rng(self.seed)
+        rng = np.random.default_rng(self.seed)
 
         S = self.stats
-        val_accs = []
-        best_acc = -1.0
+        val_accs = self._seed_val_accs()
         for epoch in range(self.start_epoch, self.epochs):
             lr = self.base_lr * self.lr_factor_fn(epoch)
             self.state = set_learning_rate(self.state, lr)
@@ -358,15 +401,9 @@ class Trainer:
                     S.print(force=True, end="\n")
                 if split == "val":
                     val_accs.append(final["acc"])
-                    if self.ckpt_dir:
-                        is_best = final["acc"] > best_acc
-                        best_acc = max(best_acc, final["acc"])
-                        if is_best or (self.save_every
-                                       and epoch % self.save_every == 0):
-                            from vit_torch_tpu.checkpoint.orbax_io import (
-                                save_checkpoint)
-                            save_checkpoint(self.ckpt_dir, self.state, epoch,
-                                            metrics={"val_acc": final["acc"]})
+                    self._maybe_checkpoint(
+                        epoch, final["acc"],
+                        state=(ckpt_state_fn() if ckpt_state_fn else None))
             if should_early_stop(val_accs, self.earlystop_epoch):
                 if self.print_progress:
                     print(f"\nearly stop at epoch {epoch}")
