@@ -133,11 +133,11 @@ void local_binary_pattern(const double* img, int h, int w, int P, double R,
                           int method, double* out) {
     std::vector<double> sy(P), sx(P);
     for (int p = 0; p < P; ++p) {
-        // skimage convention: angle = 2*pi*p/P, sample at
-        // (r*sin(angle), r*cos(angle)) relative to center (row, col)
+        // skimage ring convention: sample p at (row - R*sin(a), col + R*cos(a))
+        // with a = 2*pi*p/P — p=0 due east, counter-clockwise in image coords
         double angle = 2.0 * M_PI * p / P;
-        sy[p] = -R * std::cos(angle);
-        sx[p] = R * std::sin(angle);
+        sy[p] = -R * std::sin(angle);
+        sx[p] = R * std::cos(angle);
     }
     std::vector<double> vals(P);
     for (int y = 0; y < h; ++y) {

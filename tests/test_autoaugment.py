@@ -95,11 +95,47 @@ def test_translate_fills_128(img):
     np.testing.assert_allclose(out[:, :8], img[:, 8:])
 
 
-def test_shear_and_rotate_shapes(img):
-    for fn in (_shear_x, _rotate):
-        out = np.asarray(fn(jnp.asarray(img), jnp.float32(10.0 if fn is _rotate else 0.2), 1.0))
-        assert out.shape == img.shape
-        assert np.isfinite(out).all()
+def test_shear_matches_pil_bicubic(img):
+    """Reference shears with Image.BICUBIC (utils_datasets.py:294-300);
+    PIL's transform-bicubic is cubic convolution with a=-1.0 (round-3
+    review: was nearest-neighbor)."""
+    from vit_torch_tpu.data.autoaugment import _shear_y
+    for mag in (0.1, 0.3, -0.3):
+        ref = np.asarray(_pil(img).transform(
+            (16, 16), Image.AFFINE, (1, mag, 0, 0, 1, 0), Image.BICUBIC,
+            fillcolor=(128, 128, 128)), np.float64)
+        ours = np.round(np.asarray(_shear_x(
+            jnp.asarray(img), jnp.float32(abs(mag)), float(np.sign(mag)))))
+        np.testing.assert_allclose(ours, ref, atol=1.0)  # rounding order
+    ref = np.asarray(_pil(img).transform(
+        (16, 16), Image.AFFINE, (1, 0, 0, 0.3, 1, 0), Image.BICUBIC,
+        fillcolor=(128, 128, 128)), np.float64)
+    ours = np.round(np.asarray(_shear_y(jnp.asarray(img), jnp.float32(0.3),
+                                        1.0)))
+    np.testing.assert_allclose(ours, ref, atol=1.0)
+
+
+def test_rotate_matches_pil_exactly(img):
+    """rotate must reproduce the reference's _rotate_with_fill bit-exactly:
+    PIL center (W/2, H/2) and pixel-center nearest sampling (round-3 review:
+    the (W-1)/2 center put every sample half a pixel off)."""
+    for ang in (9.0, 30.0):
+        rot = _pil(img).convert("RGBA").rotate(ang)
+        ref = np.asarray(Image.composite(
+            rot, Image.new("RGBA", rot.size, (128,) * 4), rot).convert("RGB"),
+            np.float32)
+        ours = np.asarray(_rotate(jnp.asarray(img), jnp.float32(ang), 1.0))
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_translate_fractional_matches_pil(img):
+    """Non-integer translation magnitudes floor exactly like PIL's
+    pixel-center nearest sampling."""
+    ref = np.asarray(_pil(img).transform(
+        (16, 16), Image.AFFINE, (1, 0, 0.37 * 16, 0, 1, 0),
+        fillcolor=(128, 128, 128)), np.float32)
+    ours = np.asarray(_translate_x(jnp.asarray(img), jnp.float32(0.37), 1.0))
+    np.testing.assert_array_equal(ours, ref)
 
 
 def test_autocontrast_stretches(img):

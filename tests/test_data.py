@@ -51,6 +51,37 @@ def test_prefetch_loader_equivalent():
         np.testing.assert_array_equal(a["mask"], b["mask"])
 
 
+def test_prefetch_loader_abandoned_iteration_reaps_worker():
+    """Abandoning iteration mid-epoch must not leak the worker thread (it
+    used to block forever in q.put on the full bounded queue — round-3
+    review)."""
+    import threading
+    images = np.zeros((64, 4, 4, 3), np.uint8)
+    labels = np.zeros(64, np.int32)
+    pre = PrefetchLoader(ArrayDataLoader(images, labels, batch_size=4),
+                         prefetch=1)
+    baseline = threading.active_count()
+    for _ in range(5):
+        it = iter(pre)
+        next(it)        # worker now blocked on the full queue
+        it.close()      # generator finalizer must release + join it
+    assert threading.active_count() <= baseline
+
+
+def test_imagefolder_empty_split_raises_clearly(tmp_path):
+    """One image per class → train split empty → a named error, not an
+    opaque np.stack crash (round-3 review)."""
+    from PIL import Image
+    import pytest
+    for cls in ("a", "b"):
+        d = tmp_path / cls
+        d.mkdir()
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(d / "only.png")
+    from vit_torch_tpu.data.datasets import _imagefolder_arrays
+    with pytest.raises(ValueError, match="train.*empty|empty.*train"):
+        _imagefolder_arrays(str(tmp_path), image_size=8)
+
+
 def test_normalize_matches_torchvision_semantics():
     """normalize(uint8) == (x/255 - mean) / std"""
     x = np.random.default_rng(0).integers(0, 256, (2, 4, 4, 3)).astype(np.uint8)

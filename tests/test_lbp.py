@@ -40,6 +40,32 @@ def test_uniform_flat_region_is_all_ones_pattern():
     assert (out[1:-1, 1:-1] == 8).all()  # borders have clamped-sample FP ties
 
 
+def test_ring_orientation_matches_skimage():
+    """skimage convention: sample p=0 sits due EAST of the center and the
+    ring is traversed counter-clockwise (round-3 review: the ring was
+    reflected, changing every default/ror/nri_uniform code)."""
+    img = np.zeros((5, 5), np.float64)
+    img[2, 2] = 100.0       # center
+    img[2, 3] = 200.0       # east neighbor only
+    code = local_binary_pattern(img, 8, 1.0, "default")[2, 2]
+    assert code == 1.0      # east = bit 0 → 2**0
+    img2 = np.zeros((5, 5), np.float64)
+    img2[2, 2] = 100.0
+    img2[1, 2] = 200.0      # north neighbor only (row-1 = -sin(pi/2))
+    code2 = local_binary_pattern(img2, 8, 1.0, "default")[2, 2]
+    assert code2 == 4.0     # north = bit 2 → 2**2 (CCW traversal)
+
+
+def test_gray_matches_pil_convert_l():
+    """The LBP input and the 'l' channel quantize exactly like PIL
+    convert('L') — the reference's pre-LBP step (utils_datasets.py:1105)."""
+    from vit_torch_tpu.data.lbp import rgb_to_gray_uint8
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    pil = np.array(Image.fromarray(img).convert("L"))
+    np.testing.assert_array_equal(rgb_to_gray_uint8(img), pil)
+
+
 def test_ror_rotation_invariance():
     """ror value range never exceeds the default range and is <= default."""
     rng = np.random.default_rng(1)
@@ -62,8 +88,8 @@ def test_get_lbp_merge_channel_stack():
     merged = get_lbp_merge(img, methods=("l", "default", "uniform", "r"))
     assert merged.shape == (16, 16, 4)
     np.testing.assert_array_equal(merged[..., 3], img[..., 0])  # 'r' channel
-    gray = rgb_to_gray(img)
-    np.testing.assert_allclose(merged[..., 0], gray.clip(0, 255).astype(np.uint8))
+    pil_gray = np.array(Image.fromarray(img).convert("L"))
+    np.testing.assert_array_equal(merged[..., 0], pil_gray)
 
 
 def test_tire_dataset(tmp_path):

@@ -85,8 +85,11 @@ def cutout(rng: jax.Array, images: jax.Array, size: int,
     cx = jax.random.randint(rx, (B, 1, 1), 0, W)
     ys = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1), 1)
     xs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    # reference bounds are half-open [c - L//2, c + L//2): exactly 2*(L//2)
+    # rows/cols (the clip at the border is implicit in the iota comparison)
     half = size // 2
-    mask = ((jnp.abs(ys - cy) <= half) & (jnp.abs(xs - cx) <= half))
+    mask = ((ys >= cy - half) & (ys < cy + half)
+            & (xs >= cx - half) & (xs < cx + half))
     return jnp.where(mask[..., None], fill_value, images)
 
 

@@ -151,29 +151,65 @@ POLICIES = {"imagenet": IMAGENET_POLICY, "stl10": STL10_POLICY,
 # single-image ops: img (H, W, C) float32 in [0, 255]
 # --------------------------------------------------------------------------
 
-def _affine(img, a, b, c, d, e, f):
-    """PIL Image.transform(AFFINE) semantics: output (x, y) samples input at
-    (a·x + b·y + c, d·x + e·y + f); nearest neighbor, fill 128."""
+def _cubic_weights(t):
+    """PIL ``Image.transform`` bicubic weights for offsets (-1, 0, 1, 2)
+    around the floor of the sample position.  NB: PIL's *transform* filter
+    (Geometry.c) is cubic convolution with a = -1.0 — NOT the a = -0.5
+    Catmull-Rom its *resize* uses — verified against a delta-image probe
+    (weights 0.625/-0.125 at d=0.5)."""
+    a = -1.0
+    ts = [t + 1.0, t, 1.0 - t, 2.0 - t]
+    ws = []
+    for x in ts:
+        ax = jnp.abs(x)
+        w = jnp.where(
+            ax <= 1.0, ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0,
+            jnp.where(ax < 2.0, (((ax - 5.0) * ax + 8.0) * ax - 4.0) * a, 0.0))
+        ws.append(w)
+    return ws
+
+
+def _affine(img, a, b, c, d, e, f, bicubic=False):
+    """PIL Image.transform(AFFINE) semantics: output pixel (x, y) samples the
+    input at (a·(x+.5) + b·(y+.5) + c, d·(x+.5) + e·(y+.5) + f) — PIL maps
+    pixel *centers*, then floors for nearest — fill 128 out of bounds.
+    ``bicubic=True`` matches PIL's Image.BICUBIC resampling (the reference
+    shears with BICUBIC; translate/rotate are nearest)."""
     H, W = img.shape[:2]
-    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) + 0.5
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) + 0.5
     xin = a * xs + b * ys + c
     yin = d * xs + e * ys + f
-    xi = jnp.round(xin).astype(jnp.int32)
-    yi = jnp.round(yin).astype(jnp.int32)
-    inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-    xi = jnp.clip(xi, 0, W - 1)
-    yi = jnp.clip(yi, 0, H - 1)
-    out = img[yi, xi]
-    return jnp.where(inb[..., None], out, FILL)
+    if not bicubic:
+        xi = jnp.floor(xin).astype(jnp.int32)
+        yi = jnp.floor(yin).astype(jnp.int32)
+        inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        out = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+        return jnp.where(inb[..., None], out, FILL)
+    # bicubic: continuous sample position is (xin-.5, yin-.5) in pixel-index
+    # space; 4×4 taps around it, edge-clamped (PIL clamps tap indices)
+    px, py = xin - 0.5, yin - 0.5
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    fx, fy = px - x0, py - y0
+    wx = _cubic_weights(fx)
+    wy = _cubic_weights(fy)
+    acc = jnp.zeros_like(img)
+    for j, wyj in zip((-1, 0, 1, 2), wy):
+        rowy = jnp.clip(y0 + j, 0, H - 1)
+        for i, wxi in zip((-1, 0, 1, 2), wx):
+            colx = jnp.clip(x0 + i, 0, W - 1)
+            acc = acc + (wyj * wxi)[..., None] * img[rowy, colx]
+    inb = (px >= -0.5) & (px <= W - 0.5) & (py >= -0.5) & (py <= H - 0.5)
+    return jnp.where(inb[..., None], jnp.clip(acc, 0.0, 255.0), FILL)
 
 
 def _shear_x(img, mag, sign):
-    return _affine(img, 1.0, mag * sign, 0.0, 0.0, 1.0, 0.0)
+    return _affine(img, 1.0, mag * sign, 0.0, 0.0, 1.0, 0.0, bicubic=True)
 
 
 def _shear_y(img, mag, sign):
-    return _affine(img, 1.0, 0.0, 0.0, mag * sign, 1.0, 0.0)
+    return _affine(img, 1.0, 0.0, 0.0, mag * sign, 1.0, 0.0, bicubic=True)
 
 
 def _translate_x(img, mag, sign):
@@ -185,12 +221,13 @@ def _translate_y(img, mag, sign):
 
 
 def _rotate(img, mag, sign):
-    # PIL rotate(angle): counterclockwise about the center, fill 128
+    # PIL rotate(angle): counterclockwise about the center (W/2, H/2) —
+    # PIL's rotn_center, NOT the (W-1)/2 pixel-grid center — fill 128
     # (the reference never applies a sign to rotation)
     H, W = img.shape[:2]
     theta = mag * jnp.pi / 180.0
     cos, sin = jnp.cos(theta), jnp.sin(theta)
-    cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+    cx, cy = W / 2.0, H / 2.0
     # inverse map for CCW rotation
     return _affine(img, cos, -sin, cx - cos * cx + sin * cy,
                    sin, cos, cy - sin * cx - cos * cy)
@@ -306,9 +343,12 @@ def make_autoaugment(policy: str = "imagenet") -> Callable:
                        jax.random.choice(ks2, jnp.asarray([-1.0, 1.0])), 1.0)
         img = _apply_op(img, op1[idx], m1[idx], s1,
                         jax.random.uniform(ku1) < p1[idx])
+        # PIL returns uint8 after every op: re-quantize between op1 and op2
+        # so threshold ops (solarize/posterize) see the same ties PIL does
+        img = jnp.clip(jnp.round(img), 0, 255)
         img = _apply_op(img, op2[idx], m2[idx], s2,
                         jax.random.uniform(ku2) < p2[idx])
-        return jnp.clip(img, 0, 255).astype(jnp.uint8)
+        return jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
 
     def augment(rng, images):
         rngs = jax.random.split(rng, images.shape[0])

@@ -169,6 +169,16 @@ def _imagefolder_arrays(data_path: str, image_size: int, test_ratio: float = 0.2
             out[split][1].append(ci)
     result = {}
     for split, (imgs, labels) in out.items():
+        if not imgs:
+            counts = {c: len([f for f in os.listdir(os.path.join(data_path, c))
+                              if f.lower().endswith((".png", ".jpg", ".jpeg",
+                                                     ".bmp"))])
+                      for c in classes}
+            raise ValueError(
+                f"ImageFolder split {split!r} is empty with test_ratio="
+                f"{test_ratio} (per-class file counts: {counts}); every "
+                f"class needs at least 2 images so both splits are "
+                f"non-empty")
         result[split] = (np.stack(imgs), np.asarray(labels, np.int32))
     return result, classes
 

@@ -26,11 +26,22 @@ _METHOD_IDS = {"default": 0, "ror": 1, "uniform": 2, "var": 3,
 
 
 def rgb_to_gray(img: np.ndarray) -> np.ndarray:
-    """ITU-R 601-2 luma (cv2.COLOR_RGB2GRAY / PIL 'L' weights)."""
+    """ITU-R 601-2 luma (cv2.COLOR_RGB2GRAY / PIL 'L' weights), float."""
     if img.ndim == 2:
         return img.astype(np.float64)
     return (0.299 * img[..., 0] + 0.587 * img[..., 1]
             + 0.114 * img[..., 2]).astype(np.float64)
+
+
+def rgb_to_gray_uint8(img: np.ndarray) -> np.ndarray:
+    """PIL ``convert('L')`` bit-exact: integer luma with PIL's fixed-point
+    coefficients and rounding (``(19595 R + 38470 G + 7471 B + 0x8000) >>
+    16``).  The reference quantizes to a uint8 'L' image before LBP
+    (``utils_datasets.py:1105-1111``), so LBP parity needs the same ties."""
+    if img.ndim == 2:
+        return np.clip(np.round(img), 0, 255).astype(np.uint8)
+    r, g, b = (img[..., i].astype(np.int64) for i in range(3))
+    return ((19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16).astype(np.uint8)
 
 
 def local_binary_pattern(img: np.ndarray, n_points: int, radius: float,
@@ -56,8 +67,10 @@ def _lbp_numpy(img: np.ndarray, P: int, R: float, method: str) -> np.ndarray:
     codes = np.zeros((h, w), np.uint64)
     vals = np.zeros((P, h, w), np.float64)
     for p in range(P):
+        # skimage ring convention: sample p at (row - R sin θ, col + R cos θ),
+        # i.e. p=0 due east, traversing counter-clockwise in image coords
         angle = 2 * np.pi * p / P
-        sy, sx = -R * np.cos(angle), R * np.sin(angle)
+        sy, sx = -R * np.sin(angle), R * np.cos(angle)
         yy, xx = ys + sy, xs + sx
         y0, x0 = np.floor(yy).astype(int), np.floor(xx).astype(int)
         fy, fx = yy - y0, xx - x0
@@ -111,8 +124,9 @@ def get_lbp_full(img: np.ndarray, radius: int = 1, point_mult: int = 8,
                  methods: Optional[Sequence[str]] = None,
                  ) -> Dict[str, np.ndarray]:
     """Per-method LBP maps normalized to uint8 (reference ``get_lbp_full``,
-    ``utils_datasets.py:1112-1146``)."""
-    gray = rgb_to_gray(np.asarray(img))
+    ``utils_datasets.py:1112-1146``).  RGB input is quantized to a PIL-exact
+    uint8 'L' image first, matching the reference's ``convert('L')`` ties."""
+    gray = rgb_to_gray_uint8(np.asarray(img)).astype(np.float64)
     if methods is None:
         methods = list(LBP_METHODS)
     if isinstance(methods, str):
@@ -143,7 +157,7 @@ def get_lbp_merge(img: np.ndarray, radius: int = 1, point_mult: int = 8,
     channels = []
     for m in methods:
         if m == "l":
-            channels.append(rgb_to_gray(img).clip(0, 255).astype(np.uint8))
+            channels.append(rgb_to_gray_uint8(img))
         elif m in ("r", "g", "b"):
             channels.append(img[..., "rgb".index(m)])
         else:

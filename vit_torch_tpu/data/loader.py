@@ -97,23 +97,48 @@ class PrefetchLoader:
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
         err: list = []
+
+        def _put(item) -> bool:
+            # bounded-wait put so the worker can exit when the consumer
+            # abandons iteration mid-epoch (otherwise it blocks forever on
+            # the full queue, leaking the thread + the batches it holds)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.05)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in self.loader:
-                    q.put(item)
+                    if not _put(item):
+                        return
             except BaseException as e:  # propagate to consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # runs on normal exhaustion AND on generator close/GC: release
+            # the worker (it may be blocked on a full queue) and reap it
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=1.0)
