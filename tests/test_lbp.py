@@ -92,6 +92,58 @@ def test_get_lbp_merge_channel_stack():
     np.testing.assert_array_equal(merged[..., 0], pil_gray)
 
 
+@pytest.mark.parametrize("methods,radius", [
+    (("l", "default", "uniform"), 2),
+    (("r", "g", "b", "default", "uniform", "ror", "nri_uniform"), 2),
+    (("l", "default", "uniform"), 1),
+])
+def test_device_lbp_matches_host(methods, radius):
+    """The jittable LBP (data/lbp_device.py) must be bit-exact vs the host
+    kernels for every tire recipe — it sits inside the train step when
+    AutoAugment-before-LBP parity is requested."""
+    import jax
+    import jax.numpy as jnp
+    from vit_torch_tpu.data.lbp_device import lbp_merge_device
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (3, 20, 20, 3), dtype=np.uint8)
+    host = np.stack([get_lbp_merge(im, radius=radius, point_mult=8,
+                                   methods=methods) for im in imgs])
+    dev = np.asarray(jax.jit(
+        lambda x: lbp_merge_device(x, radius=radius, point_mult=8,
+                                   methods=methods))(jnp.asarray(imgs)))
+    np.testing.assert_array_equal(host.astype(np.float32), dev)
+
+
+def test_tire_aug_auto_full_device_pipeline(tmp_path):
+    """aug_auto mode: the train loader carries raw RGB and the augment fn
+    runs crop → flips → AutoAugment → device LBP → normalize as ONE jitted
+    program (the reference's utils_dataset_tire.py:81-90 pipeline order)."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    for cls in ("good", "bad"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(6):
+            Image.fromarray(rng.integers(0, 256, (32, 32, 3),
+                                         dtype=np.uint8)).save(d / f"{i}.png")
+    from vit_torch_tpu.data.tire import get_tire_dataset
+    ds = get_tire_dataset(str(tmp_path), image_size=16, bs=4, settings=1,
+                          aug_auto="imagenet", prefetch=False)
+    batch = next(iter(ds.loaders["train"]))
+    assert batch["image"].shape[-1] == 3          # raw RGB, margin kept
+    assert batch["image"].shape[1] > 16
+    aug = ds.make_augment_fn()
+    out = jax.jit(aug)(jax.random.PRNGKey(0), jnp.asarray(batch["image"]))
+    assert out.shape == (4, 16, 16, 3)            # LBP channel stack
+    assert out.dtype == jnp.float32
+    assert float(jnp.abs(out).max()) <= 2.01      # normalized (0.5, 0.25)
+    # eval path unchanged: precomputed LBP stack at final size
+    val = next(iter(ds.loaders["val"]))
+    assert val["image"].shape[1:] == (16, 16, 3)
+    assert val["image"].dtype == np.uint8
+
+
 def test_tire_dataset(tmp_path):
     # build a tiny ImageFolder
     rng = np.random.default_rng(0)

@@ -49,7 +49,8 @@ def main(argv: Optional[Sequence[str]] = None) -> Stats:
                                 bs=args["bs"], settings=args["tire_settings"],
                                 seed=args["seed"],
                                 limit_train=args["limit_train"],
-                                limit_test=args["limit_test"])
+                                limit_test=args["limit_test"],
+                                aug_auto=args["aug_auto"])
         image_channels = data.image_channels
     else:
         data = Datasets(args["dataset"], image_size=args["image_size"],
