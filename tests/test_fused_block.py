@@ -166,6 +166,134 @@ def test_window_block_in_swin_model(monkeypatch):
 
 
 # --------------------------------------------------------------------------
+# window_block_spatial (band-gather variant: partition/reverse in the DMA)
+# --------------------------------------------------------------------------
+
+def _wbs_inputs(B=2, Hp=16, Wp=16, w=4, C=128, H=4, seed=0):
+    rng = np.random.default_rng(seed)
+    nW = (Hp // w) * (Wp // w)
+    N = w * w
+    y = jnp.asarray(rng.normal(0, 1, (B, Hp, Wp, C)), jnp.float32)
+    w_qkv = jnp.asarray(rng.normal(0, 0.05, (C, 3 * C)), jnp.float32)
+    b_qkv = jnp.asarray(rng.normal(0, 0.05, (3 * C,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0, 0.5, (H, N, N)), jnp.float32)
+    mask = jnp.asarray(
+        np.where(rng.random((nW, N, N)) > 0.7, -100.0, 0.0), jnp.float32)
+    w_proj = jnp.asarray(rng.normal(0, 0.05, (C, C)), jnp.float32)
+    b_proj = jnp.asarray(rng.normal(0, 0.05, (C,)), jnp.float32)
+    return y, w_qkv, b_qkv, bias, mask, w_proj, b_proj
+
+
+def _wbs_ref(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj, w, H):
+    from vit_torch_tpu.models.swin import window_partition, window_reverse
+    B, Hp, Wp, C = y.shape
+    wins = window_partition(y, w)
+    out = _wb_ref(wins, w_qkv, b_qkv, bias, mask, w_proj, b_proj, H)
+    return window_reverse(out, w, Hp, Wp)
+
+
+@pytest.mark.parametrize("masked", [True, False])
+def test_window_block_spatial_forward(masked):
+    from vit_torch_tpu.ops.window_block import (
+        window_block_spatial, fits_spatial)
+    y, w_qkv, b_qkv, bias, mask, w_proj, b_proj = _wbs_inputs()
+    H, w = 4, 4
+    m = mask if masked else None
+    assert fits_spatial(y.shape[0], y.shape[1], y.shape[2], w, y.shape[3],
+                        H, masked)
+    ours = window_block_spatial(y, w_qkv, b_qkv, bias, m, w_proj, b_proj,
+                                num_heads=H, window=w)
+    ref = _wbs_ref(y, w_qkv, b_qkv, bias, m, w_proj, b_proj, w, H)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_window_block_spatial_backward():
+    from vit_torch_tpu.ops.window_block import window_block_spatial
+    y, w_qkv, b_qkv, bias, mask, w_proj, b_proj = _wbs_inputs(
+        B=1, Hp=8, Wp=8, seed=2)
+    H, w = 4, 4
+
+    def loss_ours(y, w_qkv, b_qkv, bias, w_proj, b_proj):
+        return jnp.sum(window_block_spatial(
+            y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
+            num_heads=H, window=w) ** 2)
+
+    def loss_ref(y, w_qkv, b_qkv, bias, w_proj, b_proj):
+        return jnp.sum(_wbs_ref(y, w_qkv, b_qkv, bias, mask, w_proj,
+                                b_proj, w, H) ** 2)
+
+    args = (y, w_qkv, b_qkv, bias, w_proj, b_proj)
+    go = jax.grad(loss_ours, argnums=tuple(range(6)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    names = ("dy", "dw_qkv", "db_qkv", "dbias", "dw_proj", "db_proj")
+    for name, a, b in zip(names, go, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3, err_msg=name)
+
+
+def test_window_block_spatial_head_split():
+    """groups > 1 (stage-4 C wide enough to trip head-split) matches the
+    reference — exercised by forcing pick via a wide-C input."""
+    from vit_torch_tpu.ops.window_block import (
+        _window_block_spatial, pick_config_spatial)
+    y, w_qkv, b_qkv, bias, mask, w_proj, b_proj = _wbs_inputs(
+        B=1, Hp=8, Wp=8, C=256, H=8, seed=3)
+    w = 4
+    out_g1 = _window_block_spatial(
+        y, w_qkv, b_qkv.reshape(1, -1), bias,
+        None, w_proj, b_proj.reshape(1, -1), 8, (256 // 8) ** -0.5, 2, 4, 1)
+    out_g2 = _window_block_spatial(
+        y, w_qkv, b_qkv.reshape(1, -1), bias,
+        None, w_proj, b_proj.reshape(1, -1), 8, (256 // 8) ** -0.5, 2, 4, 2)
+    np.testing.assert_allclose(np.asarray(out_g1), np.asarray(out_g2),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_window_block_spatial_fits_gates():
+    from vit_torch_tpu.ops.window_block import fits_spatial
+    # window-7: N=49 not 16-aligned — the in-kernel merge gate
+    assert not fits_spatial(32, 56, 56, 7, 128, 4, True)
+    # swin_base_384 stages 1-3 (masked and not)
+    assert fits_spatial(32, 96, 96, 12, 128, 4, True)
+    assert fits_spatial(32, 48, 48, 12, 256, 8, False)
+    assert fits_spatial(32, 24, 24, 12, 512, 16, True)
+    # map not window-tiled
+    assert not fits_spatial(32, 90, 96, 12, 128, 4, False)
+    # C not a 32-lane granule
+    assert not fits_spatial(32, 96, 96, 12, 120, 4, False)
+
+
+def test_window_block_spatial_in_swin_model(monkeypatch):
+    """Full Swin forward + grads: spatial band-gather path (interpret)
+    matches the pure-XLA path with shifted masks active."""
+    from vit_torch_tpu.models.swin import SwinConfig, SwinTransformer
+    cfg = SwinConfig(embed_dim=128, depths=(2,), num_heads=(4,),
+                     window_size=4, drop_path_rate=0.0)
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (2, 32, 32, 3)),
+                    jnp.float32)
+    model = SwinTransformer(cfg, dtype=jnp.float32)
+    monkeypatch.setenv("VITX_FUSED_WINDOW", "0")
+    monkeypatch.setenv("VITX_FUSED_BLOCK", "0")
+    monkeypatch.setenv("VITX_FUSED_SPATIAL", "0")
+    params = model.init(jax.random.PRNGKey(0), x, True)["params"]
+    ref = model.apply({"params": params}, x, True)
+    gref = jax.grad(lambda p: jnp.sum(
+        model.apply({"params": p}, x, True) ** 2))(params)
+    monkeypatch.setenv("VITX_FUSED_WINDOW", "")
+    monkeypatch.setenv("VITX_FUSED_BLOCK", "")
+    monkeypatch.setenv("VITX_FUSED_SPATIAL", "1")
+    ours = model.apply({"params": params}, x, True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=5e-5, rtol=2e-4)
+    gours = jax.grad(lambda p: jnp.sum(
+        model.apply({"params": p}, x, True) ** 2))(params)
+    diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         gours, gref)
+    assert max(jax.tree.leaves(diffs)) < 5e-4, diffs
+
+
+# --------------------------------------------------------------------------
 # fused_mlp
 # --------------------------------------------------------------------------
 

@@ -160,6 +160,31 @@ def _use_fused_window(Bn: int, N: int, mask) -> bool:
     return True
 
 
+def _use_fused_block_spatial(B: int, Hp: int, Wp: int, w: int, C: int,
+                             H: int, mask) -> bool:
+    """Dispatch to the band-gather spatial window-block kernel
+    (``ops/window_block.py:window_block_spatial``): the window
+    partition/reverse transposes (12.6% of swin_base_384 e2e, see
+    ``examples/perf/swin_overhead_ablation.json``) fold into the kernel's
+    DMA.  VITX_FUSED_SPATIAL=1 forces it on (CPU interpret, tests), =0
+    turns it off; default TPU-only.  VITX_FUSED_WINDOW=0 / VITX_FUSED_BLOCK=0
+    also disable it (it is a variant of the fused block kernel)."""
+    import os
+    if os.environ.get("VITX_FUSED_WINDOW", "") == "0":
+        return False
+    if os.environ.get("VITX_FUSED_BLOCK", "") == "0":
+        return False
+    flag = os.environ.get("VITX_FUSED_SPATIAL", "")
+    if flag == "0":
+        return False
+    if flag != "1" and jax.default_backend() != "tpu":
+        return False
+    if mask is not None and mask.shape[0] != (Hp // w) * (Wp // w):
+        return False
+    from vit_torch_tpu.ops.window_block import fits_spatial
+    return fits_spatial(B, Hp, Wp, w, C, H, mask is not None)
+
+
 def _use_fused_block(Bn: int, N: int, C: int, H: int, mask) -> bool:
     """Dispatch to the fully-fused qkv+attention+proj window-block kernel
     (``ops/window_block.py``).  VITX_FUSED_BLOCK=1 forces it on (CPU
@@ -190,9 +215,10 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None,
-                 deterministic: bool = True):
-        Bn, N, C = x.shape
+                 deterministic: bool = True, spatial: bool = False):
         w, H = self.window_size, self.num_heads
+        C = x.shape[-1]
+        N = w * w
         head_dim = C // H
         scale = head_dim ** -0.5
         table = self.param("relative_position_bias_table", trunc_normal_init,
@@ -204,6 +230,17 @@ class WindowAttention(nn.Module):
         w_qkv, b_qkv = DenseParams(3 * C, self.qkv_bias, name="qkv")(C)
         w_proj, b_proj = DenseParams(C, name="proj")(C)
         dt = self.dtype
+        if spatial:
+            # x is the padded (B, Hp, Wp, C) map: the band-gather kernel
+            # folds partition/reverse into its DMA (caller checked
+            # _use_fused_block_spatial)
+            from vit_torch_tpu.ops.window_block import window_block_spatial
+            return window_block_spatial(
+                x, w_qkv.astype(dt),
+                None if b_qkv is None else b_qkv.astype(dt), bias, mask,
+                w_proj.astype(dt), b_proj.astype(dt),
+                num_heads=H, window=w, scale=scale)
+        Bn, N, C = x.shape
         if _use_fused_block(Bn, N, C, H, mask):
             # fully-fused Pallas kernel: qkv matmul + attention + proj in
             # one program — the qkv/scores/attn activations never touch HBM
@@ -268,11 +305,16 @@ class SwinBlock(nn.Module):
             mask = jnp.asarray(shifted_window_mask(Hp, Wp, w, shift))
         else:
             mask = None
-        windows = window_partition(y, w)
-        windows = WindowAttention(self.num_heads, w, self.qkv_bias,
-                                  dtype=self.dtype, name="attn")(
-                                      windows, mask, deterministic)
-        y = window_reverse(windows, w, Hp, Wp)
+        attn = WindowAttention(self.num_heads, w, self.qkv_bias,
+                               dtype=self.dtype, name="attn")
+        if _use_fused_block_spatial(B, Hp, Wp, w, C, self.num_heads, mask):
+            # band-gather kernel consumes the spatial map directly — no
+            # partition/reverse HBM transposes (12.6% of e2e, see PERF.md)
+            y = attn(y, mask, deterministic, spatial=True)
+        else:
+            windows = window_partition(y, w)
+            windows = attn(windows, mask, deterministic)
+            y = window_reverse(windows, w, Hp, Wp)
         if shift:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         if pad_b or pad_r:

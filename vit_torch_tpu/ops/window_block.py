@@ -131,24 +131,18 @@ def pick_config(nW_img: int, Bn: int, N: int, C: int, H: int,
 # forward kernel
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(*refs, num_heads: int, scale: float, has_mask: bool,
-                kv_len: int):
-    if has_mask:
-        (x_ref, wqkv_ref, bqkv_ref, bias_ref, mask_ref, wproj_ref,
-         bproj_ref, o_ref) = refs
-    else:
-        (x_ref, wqkv_ref, bqkv_ref, bias_ref, wproj_ref, bproj_ref,
-         o_ref) = refs
-    WB, N, C = x_ref.shape
+def _block_compute(x, wqkv_ref, bqkv_ref, bias_ref, mask, wproj_ref,
+                   bproj_ref, *, WB: int, N: int, num_heads: int,
+                   scale: float, kv_len: int):
+    """Shared kernel core: qkv matmul → per-head attention → proj over a
+    flattened (WB·N, C) window chunk; returns (WB·N, C) fp32."""
     # Ca = attention width of THIS program's head group (== C except in
     # head-split mode, where each program covers H/G heads of a C-wide x)
     Ca = wqkv_ref.shape[1] // 3
     D = Ca // num_heads
-    x = x_ref[...].reshape(WB * N, C)
     qkv = jax.lax.dot(x, wqkv_ref[...], preferred_element_type=jnp.float32)
     qkv = qkv + bqkv_ref[...].astype(jnp.float32)
     qkv = qkv.astype(x.dtype)                               # (WB·N, 3Ca)
-    mask = mask_ref[...].astype(jnp.float32) if has_mask else None
     heads = []
     for h in range(num_heads):
         q = qkv[:, h * D:(h + 1) * D].reshape(WB, N, D)
@@ -158,7 +152,7 @@ def _fwd_kernel(*refs, num_heads: int, scale: float, has_mask: bool,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale     # (WB, N, N)
         s = s + bias_ref[h].astype(jnp.float32)[None]
-        if has_mask:
+        if mask is not None:
             s = s + mask
         if kv_len < N:                     # padded window tokens (static)
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
@@ -173,7 +167,23 @@ def _fwd_kernel(*refs, num_heads: int, scale: float, has_mask: bool,
     attn = jnp.concatenate(heads, axis=-1)                  # (WB·N, Ca)
     out = jax.lax.dot(attn, wproj_ref[...],
                       preferred_element_type=jnp.float32)
-    out = out + bproj_ref[...].astype(jnp.float32)
+    return out + bproj_ref[...].astype(jnp.float32)
+
+
+def _fwd_kernel(*refs, num_heads: int, scale: float, has_mask: bool,
+                kv_len: int):
+    if has_mask:
+        (x_ref, wqkv_ref, bqkv_ref, bias_ref, mask_ref, wproj_ref,
+         bproj_ref, o_ref) = refs
+    else:
+        (x_ref, wqkv_ref, bqkv_ref, bias_ref, wproj_ref, bproj_ref,
+         o_ref) = refs
+    WB, N, C = x_ref.shape
+    x = x_ref[...].reshape(WB * N, C)
+    mask = mask_ref[...].astype(jnp.float32) if has_mask else None
+    out = _block_compute(x, wqkv_ref, bqkv_ref, bias_ref, mask, wproj_ref,
+                         bproj_ref, WB=WB, N=N, num_heads=num_heads,
+                         scale=scale, kv_len=kv_len)
     o_ref[...] = out.reshape(WB, N, C).astype(o_ref.dtype)
 
 
@@ -347,6 +357,233 @@ def window_block(x: jax.Array, w_qkv: jax.Array,
 
 def _pad_sublane(n: int) -> int:
     return -(-n // 16) * 16
+
+
+# --------------------------------------------------------------------------
+# spatial (band-gather) variant: partition/reverse folded into the DMA
+# --------------------------------------------------------------------------
+#
+# `examples/perf/swin_overhead_ablation.json` priced the XLA window
+# partition/reverse transposes at 12.6% of swin_base_384 e2e — two full
+# feature-map HBM round-trips per block, run as standalone transpose
+# kernels.  This variant consumes the padded (B, Hp, Wp, C) map in its
+# NATURAL tiled layout: each program's BlockSpec slices a (1, w, WBw·w, C)
+# row-band of windows (slicing non-minor dims only — no retiling, no copy;
+# a 6-D `reshape(B, nH, w, nWc, w, C)` view was tried first and XLA
+# inserted a physical relayout copy before the kernel because the minor
+# (12, 128) dims tile sublane-padded — see PERF.md) and re-packs the
+# band's windows into (WBw·w², C) token order with in-VMEM strided slices.
+# The partition/reverse transposes become VMEM-local shuffles overlapped
+# with compute instead of HBM round-trips.
+#
+# Constraint: the in-kernel (w, w, C) -> (w², C) merge is a Mosaic shape
+# cast that needs the merged sublane dim 16-aligned — so this path covers
+# w² % 16 == 0 windows (window-12 = the 384px configs, window-4 tests);
+# window-7 (N=49) keeps the pre-partitioned kernel + XLA transposes.
+
+
+def _fwd_kernel_spatial(*refs, num_heads: int, scale: float, has_mask: bool,
+                        window: int, wbw: int):
+    if has_mask:
+        (x_ref, wqkv_ref, bqkv_ref, bias_ref, mask_ref, wproj_ref,
+         bproj_ref, o_ref) = refs
+    else:
+        (x_ref, wqkv_ref, bqkv_ref, bias_ref, wproj_ref, bproj_ref,
+         o_ref) = refs
+    w = window
+    N = w * w
+    C = x_ref.shape[-1]
+    xb = x_ref[0]                                   # (w, WBw·w, C)
+    x = jnp.concatenate(
+        [xb[:, j * w:(j + 1) * w, :].reshape(N, C) for j in range(wbw)],
+        axis=0)                                     # (WBw·N, C) token-major
+    mask = mask_ref[...].astype(jnp.float32) if has_mask else None
+    out = _block_compute(x, wqkv_ref, bqkv_ref, bias_ref, mask, wproj_ref,
+                         bproj_ref, WB=wbw, N=N, num_heads=num_heads,
+                         scale=scale, kv_len=N)
+    out = out.astype(o_ref.dtype)
+    for j in range(wbw):
+        o_ref[0, :, j * w:(j + 1) * w, :] = \
+            out[j * N:(j + 1) * N].reshape(w, w, C)
+
+
+def _fwd_impl_spatial(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
+                      num_heads, scale, wbw, window, groups=1):
+    B, Hp, Wp, C = y.shape
+    w = window
+    nH, nWc = Hp // w, Wp // w
+    has_mask = mask is not None
+    if groups > 1:
+        # head-split mode (see _fwd_impl): G pallas calls with sliced
+        # qkv columns / bias rows / proj rows; partials sum in XLA
+        Hg = num_heads // groups
+        Ca = C // groups
+        out = None
+        for g in range(groups):
+            wq_g = jnp.concatenate(
+                [w_qkv[:, t * C + g * Ca:t * C + (g + 1) * Ca]
+                 for t in range(3)], axis=1)
+            bq_g = jnp.concatenate(
+                [b_qkv[:, t * C + g * Ca:t * C + (g + 1) * Ca]
+                 for t in range(3)], axis=1)
+            bias_g = bias[g * Hg:(g + 1) * Hg]
+            wp_g = w_proj[g * Ca:(g + 1) * Ca, :]
+            bp_g = b_proj if g == 0 else jnp.zeros_like(b_proj)
+            part = _fwd_impl_spatial(y, wq_g, bq_g, bias_g, mask, wp_g,
+                                     bp_g, Hg, scale, wbw, window)
+            out = part if out is None else out + part
+        return out
+    Ca = w_qkv.shape[1] // 3
+    N = w * w
+    H = num_heads
+    nWb = nWc // wbw
+    grid = (B, nH, nWb)
+    xspec = pl.BlockSpec((1, w, wbw * w, C), lambda b, h, j: (b, h, j, 0))
+    in_specs = [
+        xspec,
+        pl.BlockSpec((C, 3 * Ca), lambda b, h, j: (0, 0)),
+        pl.BlockSpec((1, 3 * Ca), lambda b, h, j: (0, 0)),
+        pl.BlockSpec((H, N, N), lambda b, h, j: (0, 0, 0)),
+    ]
+    args = [y, w_qkv, b_qkv, bias]
+    if has_mask:
+        # mask rows are window-major (hi·nWc + wi); this program's block of
+        # WBw consecutive same-row windows starts at block index h·nWb + j
+        in_specs.append(pl.BlockSpec(
+            (wbw, N, N), lambda b, h, j, nWb=nWb: (h * nWb + j, 0, 0)))
+        args.append(mask)
+    in_specs.extend([
+        pl.BlockSpec((Ca, C), lambda b, h, j: (0, 0)),
+        pl.BlockSpec((1, C), lambda b, h, j: (0, 0)),
+    ])
+    args.extend([w_proj, b_proj])
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_spatial, num_heads=num_heads,
+                          scale=scale, has_mask=has_mask, window=window,
+                          wbw=wbw),
+        out_shape=jax.ShapeDtypeStruct(y.shape, y.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=xspec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=_interpret(),
+    )(*args)
+
+
+def _partition4(y, w):
+    """(B, Hp, Wp, C) → (B·nW, w², C) windows (XLA transpose — used only on
+    the backward-recompute path; mirrors ``models/swin.py``
+    ``window_partition``)."""
+    B, Hp, Wp, C = y.shape
+    return y.reshape(B, Hp // w, w, Wp // w, w, C) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(-1, w * w, C)
+
+
+def _reverse4(wins, w, Hp, Wp):
+    C = wins.shape[-1]
+    B = wins.shape[0] // (Hp * Wp // w // w)
+    return wins.reshape(B, Hp // w, Wp // w, w, w, C) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _window_block_spatial(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
+                          num_heads, scale, wbw, window, groups):
+    return _fwd_impl_spatial(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
+                             num_heads, scale, wbw, window, groups)
+
+
+def _wbs_fwd(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads,
+             scale, wbw, window, groups):
+    out = _fwd_impl_spatial(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
+                            num_heads, scale, wbw, window, groups)
+    return out, (y, w_qkv, b_qkv, bias, mask, w_proj, b_proj)
+
+
+def _wbs_bwd(num_heads, scale, wbw, window, groups, res, do):
+    # recompute through the partially-fused reference path (XLA partition
+    # transpose → window_attention kernel → reverse transpose): finetune
+    # pays the transposes in the backward only; the forward never does
+    y, w_qkv, b_qkv, bias, mask, w_proj, b_proj = res
+    _, Hp, Wp, _ = y.shape
+
+    def fwd(y, w_qkv, b_qkv, bias, w_proj, b_proj):
+        wins = _partition4(y, window)
+        out = _ref_forward(wins, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
+                           num_heads, scale)
+        return _reverse4(out, window, Hp, Wp)
+
+    _, vjp = jax.vjp(fwd, y, w_qkv, b_qkv, bias, w_proj, b_proj)
+    dy, dw_qkv, db_qkv, dbias, dw_proj, db_proj = vjp(do)
+    return dy, dw_qkv, db_qkv, dbias, None, dw_proj, db_proj
+
+
+_window_block_spatial.defvjp(_wbs_fwd, _wbs_bwd)
+
+
+def window_block_spatial(y: jax.Array, w_qkv: jax.Array,
+                         b_qkv: Optional[jax.Array], bias: jax.Array,
+                         mask: Optional[jax.Array], w_proj: jax.Array,
+                         b_proj: Optional[jax.Array], *, num_heads: int,
+                         window: int,
+                         scale: Optional[float] = None) -> jax.Array:
+    """Fused window block over the padded **spatial** map (B, Hp, Wp, C).
+
+    Numerically ``window_reverse(window_block(window_partition(y, w), …))``
+    with the partition/reverse transposes folded into the kernel (VMEM-local
+    band repack; the map is read/written in its natural layout).
+    Call :func:`fits_spatial` first.
+    """
+    B, Hp, Wp, C = y.shape
+    w = window
+    if scale is None:
+        scale = (C // num_heads) ** -0.5
+    nWc = Wp // w
+    wbw, groups = pick_config_spatial(nWc, w * w, C, num_heads,
+                                      mask is not None)
+    if wbw == 0:
+        raise ValueError("window_block_spatial working set exceeds VMEM; "
+                         "check fits_spatial() before dispatching")
+    if b_qkv is None:
+        b_qkv = jnp.zeros((3 * C,), y.dtype)
+    if b_proj is None:
+        b_proj = jnp.zeros((C,), y.dtype)
+    return _window_block_spatial(y, w_qkv, b_qkv.reshape(1, 3 * C), bias,
+                                 mask, w_proj, b_proj.reshape(1, C),
+                                 num_heads, float(scale), wbw, w, groups)
+
+
+def pick_config_spatial(nWc: int, N: int, C: int, H: int, has_mask: bool):
+    """(wbw, groups) for the spatial variant: WBw consecutive same-row
+    windows per program, so wbw must divide the per-row window count."""
+    for groups in (1, 2, 4, 8):
+        if H % groups:
+            continue
+        ca = C // groups
+        if ca % (H // groups) or ca % 32:
+            continue
+        wbw = pick_window_block(nWc, nWc, N, C, H, has_mask, groups)
+        if wbw:
+            return wbw, groups
+    return 0, 0
+
+
+def fits_spatial(B: int, Hp: int, Wp: int, window: int, C: int,
+                 num_heads: int, has_mask: bool) -> bool:
+    """True when the band-gather spatial kernel can run at these shapes."""
+    w = window
+    N = w * w
+    if N % 16:
+        # the in-kernel (w, w, C) -> (N, C) merge needs the merged sublane
+        # dim 16-aligned; window-7 keeps the pre-partitioned path
+        return False
+    if C % num_heads or C % 32:
+        return False
+    if Hp % w or Wp % w or Hp // w < 1 or Wp // w < 1:
+        return False
+    wbw, _ = pick_config_spatial(Wp // w, N, C, num_heads, has_mask)
+    return wbw > 0
 
 
 def fits(Bn: int, N: int, C: int, num_heads: int, nW: Optional[int]) -> bool:
