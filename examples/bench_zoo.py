@@ -68,18 +68,29 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
                    help="first two configs only (smoke)")
+    p.add_argument("--only", default=None,
+                   help="re-run only configs whose name contains this "
+                        "substring, merging into the existing JSON")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "zoo_bench_tpu.json"))
     args = p.parse_args()
     configs = ZOO_CONFIGS[:2] if args.quick else ZOO_CONFIGS
+    if args.only:
+        configs = [c for c in configs if args.only in c["name"]]
     results = []
+    if args.only and os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f).get("configs", [])
     for cfg in configs:
         try:
             out = bench.bench_config(cfg)
         except Exception as e:         # keep the sweep alive per-arch
             out = {"name": cfg["name"], "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(out), flush=True)
+        results = [r for r in results if r.get("name") != out["name"]]
         results.append(out)
+        order = {c["name"]: i for i, c in enumerate(ZOO_CONFIGS)}
+        results.sort(key=lambda r: order.get(r.get("name"), 99))
         import jax
         with open(args.out, "w") as f:
             json.dump({"device": jax.devices()[0].device_kind,

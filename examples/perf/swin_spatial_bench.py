@@ -25,8 +25,8 @@ import numpy as np
 
 STEPS = 20
 BS = 32
-SIZE = 384
-ARCH = "swin_base_patch4_window12_384_22k"
+ARCH = sys.argv[1] if len(sys.argv) > 1 else "swin_base_patch4_window12_384_22k"
+SIZE = 384 if "384" in ARCH else 224
 
 
 def build(flag: str):
@@ -77,10 +77,21 @@ def main() -> None:
     print(json.dumps(check), flush=True)
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "swin_spatial_bench.json")
+    blob = {"device": jax.devices()[0].device_kind, "bs": BS,
+            "steps_per_dispatch": STEPS}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            blob = json.load(f)
+        blob.pop("arch", None)    # legacy single-arch layout
+        if "results" in blob:
+            blob.setdefault("by_arch", {})[
+                "swin_base_patch4_window12_384_22k"] = {
+                    "results": blob.pop("results"),
+                    "check": blob.pop("check", None)}
+    blob.setdefault("by_arch", {})[ARCH] = {"results": results,
+                                            "check": check}
     with open(out_path, "w") as f:
-        json.dump({"device": jax.devices()[0].device_kind, "arch": ARCH,
-                   "bs": BS, "steps_per_dispatch": STEPS,
-                   "results": results, "check": check}, f, indent=1)
+        json.dump(blob, f, indent=1)
 
 
 if __name__ == "__main__":

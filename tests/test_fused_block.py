@@ -252,8 +252,8 @@ def test_window_block_spatial_head_split():
 
 def test_window_block_spatial_fits_gates():
     from vit_torch_tpu.ops.window_block import fits_spatial
-    # window-7: N=49 not 16-aligned — the in-kernel merge gate
-    assert not fits_spatial(32, 56, 56, 7, 128, 4, True)
+    # window-7 (N=49): padded to 64 rows inside the kernel — fits
+    assert fits_spatial(32, 56, 56, 7, 128, 4, True)
     # swin_base_384 stages 1-3 (masked and not)
     assert fits_spatial(32, 96, 96, 12, 128, 4, True)
     assert fits_spatial(32, 48, 48, 12, 256, 8, False)
@@ -262,6 +262,39 @@ def test_window_block_spatial_fits_gates():
     assert not fits_spatial(32, 90, 96, 12, 128, 4, False)
     # C not a 32-lane granule
     assert not fits_spatial(32, 96, 96, 12, 120, 4, False)
+
+
+@pytest.mark.parametrize("masked,C", [(True, 128), (False, 128),
+                                      (True, 96)])
+def test_window_block_spatial_padded_window(masked, C):
+    """Window-7 (N=49, padded to 64 rows inside the kernel) matches the
+    unpadded XLA reference in forward and gradients — incl. the
+    sub-lane-tile C=96 (swin_tiny stage 1, lane-padded merge)."""
+    from vit_torch_tpu.ops.window_block import window_block_spatial
+    y, w_qkv, b_qkv, bias, mask, w_proj, b_proj = _wbs_inputs(
+        B=1, Hp=14, Wp=14, w=7, C=C, seed=4)
+    H, w = 4, 7
+    m = mask if masked else None
+    ours = window_block_spatial(y, w_qkv, b_qkv, bias, m, w_proj, b_proj,
+                                num_heads=H, window=w)
+    ref = _wbs_ref(y, w_qkv, b_qkv, bias, m, w_proj, b_proj, w, H)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+    def loss_ours(y, w_qkv, bias):
+        return jnp.sum(window_block_spatial(
+            y, w_qkv, b_qkv, bias, m, w_proj, b_proj,
+            num_heads=H, window=w) ** 2)
+
+    def loss_ref(y, w_qkv, bias):
+        return jnp.sum(_wbs_ref(y, w_qkv, b_qkv, bias, m, w_proj,
+                                b_proj, w, H) ** 2)
+
+    go = jax.grad(loss_ours, argnums=(0, 1, 2))(y, w_qkv, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(y, w_qkv, bias)
+    for name, a, b in zip(("dy", "dw_qkv", "dbias"), go, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3, err_msg=name)
 
 
 def test_window_block_spatial_in_swin_model(monkeypatch):

@@ -376,10 +376,19 @@ def _pad_sublane(n: int) -> int:
 # The partition/reverse transposes become VMEM-local shuffles overlapped
 # with compute instead of HBM round-trips.
 #
-# Constraint: the in-kernel (w, w, C) -> (w², C) merge is a Mosaic shape
-# cast that needs the merged sublane dim 16-aligned — so this path covers
-# w² % 16 == 0 windows (window-12 = the 384px configs, window-4 tests);
-# window-7 (N=49) keeps the pre-partitioned kernel + XLA transposes.
+# Windows whose token count w² is not sublane-aligned (window-7's N=49)
+# are padded to NP = 16-multiple rows *inside* the kernel (zero rows after
+# each window's merge; padded keys masked via kv_len, padded query rows
+# never stored) — bias/mask are zero-padded to (·, NP, NP) before the call.
+#
+# Non-lane-tile channels (C not a 128 multiple — swin_tiny/small stage 1-2
+# C=96/192, swin_large stage 1 C=192): Mosaic rejects the (w, w, C) ->
+# (w², C) shape cast on *sliced* (sublane-offset) vectors unless the lane
+# dim is an exact 128 multiple ("unsupported shape cast"), so the band is
+# lane-padded to the next 128 multiple ONCE at offset 0 (padding a sliced
+# vector instead trips "result/input offset mismatch on non-concat
+# dimension"), the casts run at CL lanes, and the channel slice-back
+# happens after the row concat — all VMEM-local.
 
 
 def _fwd_kernel_spatial(*refs, num_heads: int, scale: float, has_mask: bool,
@@ -392,19 +401,31 @@ def _fwd_kernel_spatial(*refs, num_heads: int, scale: float, has_mask: bool,
          o_ref) = refs
     w = window
     N = w * w
+    NP = _pad_sublane(N)
     C = x_ref.shape[-1]
+    CL = _pad_lane(C)
     xb = x_ref[0]                                   # (w, WBw·w, C)
-    x = jnp.concatenate(
-        [xb[:, j * w:(j + 1) * w, :].reshape(N, C) for j in range(wbw)],
-        axis=0)                                     # (WBw·N, C) token-major
+    if CL != C:
+        xb = jnp.pad(xb, ((0, 0), (0, 0), (0, CL - C)))
+    pieces = []
+    for j in range(wbw):
+        xw = xb[:, j * w:(j + 1) * w, :].reshape(N, CL)
+        if NP != N:
+            xw = jnp.pad(xw, ((0, NP - N), (0, 0)))
+        pieces.append(xw)
+    x = jnp.concatenate(pieces, axis=0)             # (WBw·NP, CL) token-major
+    if CL != C:
+        x = x[:, :C]
     mask = mask_ref[...].astype(jnp.float32) if has_mask else None
     out = _block_compute(x, wqkv_ref, bqkv_ref, bias_ref, mask, wproj_ref,
-                         bproj_ref, WB=wbw, N=N, num_heads=num_heads,
+                         bproj_ref, WB=wbw, N=NP, num_heads=num_heads,
                          scale=scale, kv_len=N)
     out = out.astype(o_ref.dtype)
+    if CL != C:
+        out = jnp.pad(out, ((0, 0), (0, CL - C)))
     for j in range(wbw):
-        o_ref[0, :, j * w:(j + 1) * w, :] = \
-            out[j * N:(j + 1) * N].reshape(w, w, C)
+        win = out[j * NP:j * NP + N].reshape(w, w, CL)
+        o_ref[0, :, j * w:(j + 1) * w, :] = win[:, :, :C]
 
 
 def _fwd_impl_spatial(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
@@ -435,6 +456,13 @@ def _fwd_impl_spatial(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
         return out
     Ca = w_qkv.shape[1] // 3
     N = w * w
+    NP = _pad_sublane(N)
+    if NP != N:
+        # padded window rows: keys masked in-kernel via kv_len; zero bias /
+        # mask padding is never read on real rows
+        bias = jnp.pad(bias, ((0, 0), (0, NP - N), (0, NP - N)))
+        if has_mask:
+            mask = jnp.pad(mask, ((0, 0), (0, NP - N), (0, NP - N)))
     H = num_heads
     nWb = nWc // wbw
     grid = (B, nH, nWb)
@@ -443,14 +471,14 @@ def _fwd_impl_spatial(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
         xspec,
         pl.BlockSpec((C, 3 * Ca), lambda b, h, j: (0, 0)),
         pl.BlockSpec((1, 3 * Ca), lambda b, h, j: (0, 0)),
-        pl.BlockSpec((H, N, N), lambda b, h, j: (0, 0, 0)),
+        pl.BlockSpec((H, NP, NP), lambda b, h, j: (0, 0, 0)),
     ]
     args = [y, w_qkv, b_qkv, bias]
     if has_mask:
         # mask rows are window-major (hi·nWc + wi); this program's block of
         # WBw consecutive same-row windows starts at block index h·nWb + j
         in_specs.append(pl.BlockSpec(
-            (wbw, N, N), lambda b, h, j, nWb=nWb: (h * nWb + j, 0, 0)))
+            (wbw, NP, NP), lambda b, h, j, nWb=nWb: (h * nWb + j, 0, 0)))
         args.append(mask)
     in_specs.extend([
         pl.BlockSpec((Ca, C), lambda b, h, j: (0, 0)),
@@ -540,8 +568,8 @@ def window_block_spatial(y: jax.Array, w_qkv: jax.Array,
     if scale is None:
         scale = (C // num_heads) ** -0.5
     nWc = Wp // w
-    wbw, groups = pick_config_spatial(nWc, w * w, C, num_heads,
-                                      mask is not None)
+    wbw, groups = pick_config_spatial(nWc, _pad_sublane(w * w), C,
+                                      num_heads, mask is not None)
     if wbw == 0:
         raise ValueError("window_block_spatial working set exceeds VMEM; "
                          "check fits_spatial() before dispatching")
@@ -571,18 +599,15 @@ def pick_config_spatial(nWc: int, N: int, C: int, H: int, has_mask: bool):
 
 def fits_spatial(B: int, Hp: int, Wp: int, window: int, C: int,
                  num_heads: int, has_mask: bool) -> bool:
-    """True when the band-gather spatial kernel can run at these shapes."""
+    """True when the band-gather spatial kernel can run at these shapes
+    (unaligned w² is padded to a 16-multiple inside the kernel)."""
     w = window
-    N = w * w
-    if N % 16:
-        # the in-kernel (w, w, C) -> (N, C) merge needs the merged sublane
-        # dim 16-aligned; window-7 keeps the pre-partitioned path
-        return False
     if C % num_heads or C % 32:
         return False
     if Hp % w or Wp % w or Hp // w < 1 or Wp // w < 1:
         return False
-    wbw, _ = pick_config_spatial(Wp // w, N, C, num_heads, has_mask)
+    wbw, _ = pick_config_spatial(Wp // w, _pad_sublane(w * w), C,
+                                 num_heads, has_mask)
     return wbw > 0
 
 
