@@ -96,7 +96,7 @@ def main(argv: Optional[Sequence[str]] = None) -> Stats:
         earlystop_epoch=args["earlystop_epoch"],
         seed=args["seed"], stats=stats,
         image_size=data.image_size, image_channels=image_channels,
-        init_params=init_params, mesh=mesh,
+        init_params=init_params, mesh=mesh, fsdp=args["fsdp"],
         ckpt_dir=args["ckpt_dir"], save_every=args["save_every"],
         resume=args["resume"],
         augment_fn=(data.make_augment_fn(dtype=dtype)
@@ -107,7 +107,7 @@ def main(argv: Optional[Sequence[str]] = None) -> Stats:
     )
     # scan mode handles single-chip and pure data-parallel meshes; TP/SP
     # meshes use the per-step sharded path
-    use_scan = (args["scan"]
+    use_scan = (args["scan"] and not args["fsdp"]
                 and mesh.shape["model"] == 1 and mesh.shape["seq"] == 1
                 and hasattr(data, "sets"))
     sets = ({"train": data.sets["train"], "val": data.sets["test"]}

@@ -31,10 +31,14 @@ def shard_batch(batch, mesh: Mesh):
     return jax.device_put(batch, batch_shardings(mesh))
 
 
-def state_shardings(state: TrainState, mesh: Mesh, rules=DEFAULT_RULES):
+def state_shardings(state: TrainState, mesh: Mesh, rules=DEFAULT_RULES,
+                    fsdp: bool = False, fsdp_min_size: int = 2 ** 16):
     """Partition specs for the whole TrainState: the path-based rules match
-    param paths wherever they appear (params, frozen, optimizer moments)."""
-    return named_shardings(state, mesh, rules)
+    param paths wherever they appear (params, frozen, optimizer moments).
+    With ``fsdp=True`` large params/moments are additionally sharded over
+    the ``data`` axis (ZeRO-3; see ``partition.add_fsdp_axis``)."""
+    return named_shardings(state, mesh, rules, fsdp=fsdp,
+                           fsdp_min_size=fsdp_min_size)
 
 
 def shard_train_fns(
@@ -45,14 +49,19 @@ def shard_train_fns(
     augment_fn: Optional[Callable] = None,
     eval_transform: Optional[Callable] = None,
     rules=DEFAULT_RULES,
+    fsdp: bool = False,
+    fsdp_min_size: int = 2 ** 16,
 ) -> Tuple[Callable, Callable, TrainState]:
     """Return (train_step, eval_step, sharded_state) compiled over ``mesh``.
 
     A ``seq>1`` mesh axis additionally activates sequence parallelism: the
     backbones' ``dot_product_attention`` calls dispatch to ring attention
-    (``ops/ring_attention.py``) with the token axis sharded over ``seq``."""
+    (``ops/ring_attention.py``) with the token axis sharded over ``seq``.
+    ``fsdp=True`` shards params + optimizer moments over ``data`` (ZeRO-3):
+    GSPMD all-gathers weights per layer and reduce-scatters gradients."""
     from vit_torch_tpu.ops.attention import sequence_parallel
-    st_shard = state_shardings(state, mesh, rules)
+    st_shard = state_shardings(state, mesh, rules, fsdp=fsdp,
+                               fsdp_min_size=fsdp_min_size)
     b_shard = batch_shardings(mesh)
     repl = NamedSharding(mesh, P())
     metric_shard = {"loss_sum": repl, "correct": repl, "count": repl}

@@ -81,6 +81,7 @@ class Trainer:
         image_channels: int = 3,
         init_params: Optional[Dict[str, Any]] = None,
         mesh=None,
+        fsdp: bool = False,
         augment_fn=None,
         eval_transform=None,
         ckpt_dir: str = "",
@@ -129,7 +130,8 @@ class Trainer:
             from vit_torch_tpu.parallel.api import shard_train_fns
             self.train_step, self.eval_step, self.state = shard_train_fns(
                 apply_fn, self.tx, self.state, mesh,
-                augment_fn=augment_fn, eval_transform=eval_transform)
+                augment_fn=augment_fn, eval_transform=eval_transform,
+                fsdp=fsdp)
         else:
             self.train_step = make_train_step(apply_fn, self.tx,
                                               augment_fn=augment_fn)

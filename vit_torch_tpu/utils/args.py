@@ -178,6 +178,9 @@ def classification_config(stamp: Optional[str] = None) -> List[Tuple]:
         ("seed", 0, int, None, "PRNG seed"),
         ("mesh", "", str, None,
          "mesh spec like 'data=8' or 'data=4,model=2' ('' = all devices on data)"),
+        ("fsdp", False, bool, None,
+         "ZeRO-3: shard params + optimizer moments over the data axis "
+         "(per-step mesh path; implies --scan 0)"),
         ("torch_ckpt", "", str, None,
          "path to a torch state_dict checkpoint to import for --pretrained"),
         ("scan", 1, int, [0, 1],
