@@ -18,9 +18,10 @@ from vit_torch_tpu.train import create_train_state, get_optimizer
 
 
 def test_parse_mesh_spec():
-    assert parse_mesh_spec("", 8) == (8, 1, 1)
-    assert parse_mesh_spec("data=4,model=2", 8) == (4, 2, 1)
-    assert parse_mesh_spec("data=-1,model=2", 8) == (4, 2, 1)
+    assert parse_mesh_spec("", 8) == (8, 1, 1, 1)
+    assert parse_mesh_spec("data=4,model=2", 8) == (4, 2, 1, 1)
+    assert parse_mesh_spec("data=-1,model=2", 8) == (4, 2, 1, 1)
+    assert parse_mesh_spec("data=2,pipe=4", 8) == (2, 1, 1, 4)
     with pytest.raises(ValueError):
         parse_mesh_spec("data=3", 8)
     with pytest.raises(ValueError):
@@ -29,8 +30,8 @@ def test_parse_mesh_spec():
 
 def test_make_mesh_axes():
     mesh = make_mesh("data=2,model=4")
-    assert mesh.axis_names == ("data", "model", "seq")
-    assert mesh.devices.shape == (2, 4, 1)
+    assert mesh.axis_names == ("data", "model", "seq", "pipe")
+    assert mesh.devices.shape == (2, 4, 1, 1)
 
 
 def test_partition_rules_match_attention_and_mlp():

@@ -1,0 +1,155 @@
+"""Pipeline parallelism (`parallel/pipeline.py`): GPipe schedule over the
+``pipe`` mesh axis must be numerically identical to sequential block
+application — forward, gradients, and a full train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_torch_tpu.models.vit import ViTConfig, VisionTransformer
+from vit_torch_tpu.parallel.mesh import make_mesh
+from vit_torch_tpu.parallel.pipeline import (
+    build_pipeline_classifier, merge_vit_params, pipeline_apply,
+    split_vit_params, stack_params, unstack_params, vit_pipeline_features,
+)
+
+TINY = ViTConfig(patch_size=8, embed_dim=32, depth=4, num_heads=2)
+
+
+def _mlp_block(p, x):
+    h = jnp.tanh(x @ p["w1"] + p["b1"])
+    return x + h @ p["w2"]
+
+
+def _mlp_params(rng, n_blocks, dim, hidden):
+    keys = jax.random.split(rng, n_blocks)
+    return [
+        {
+            "w1": jax.random.normal(k, (dim, hidden)) * 0.3,
+            "b1": jnp.zeros((hidden,)),
+            "w2": jax.random.normal(jax.random.fold_in(k, 1),
+                                    (hidden, dim)) * 0.3,
+        }
+        for k in keys
+    ]
+
+
+def _sequential(blocks, x):
+    for p in blocks:
+        x = _mlp_block(p, x)
+    return x
+
+
+@pytest.mark.parametrize("mesh_spec,n_micro", [
+    ("data=2,pipe=4", None),     # M defaults to n_stages
+    ("data=2,pipe=4", 4),
+    ("pipe=8", 2),               # pure pipeline, fewer microbatches
+    ("data=8", None),            # pipe=1 degenerates to a plain scan
+])
+def test_pipeline_forward_matches_sequential(mesh_spec, n_micro):
+    mesh = make_mesh(mesh_spec)
+    rng = jax.random.PRNGKey(0)
+    blocks = _mlp_params(rng, 8, 16, 32)
+    stacked = stack_params(blocks)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 5, 16))
+
+    out = jax.jit(lambda s, x: pipeline_apply(
+        _mlp_block, s, x, mesh, num_microbatches=n_micro))(stacked, x)
+    ref = _sequential(blocks, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_gradients_match_sequential():
+    mesh = make_mesh("data=2,pipe=4")
+    rng = jax.random.PRNGKey(2)
+    blocks = _mlp_params(rng, 4, 16, 32)
+    stacked = stack_params(blocks)
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, 3, 16))
+
+    def loss_pipe(s):
+        return jnp.sum(pipeline_apply(_mlp_block, s, x, mesh) ** 2)
+
+    def loss_seq(s):
+        def body(c, p):
+            return _mlp_block(p, c), None
+        out, _ = jax.lax.scan(body, x, s)
+        return jnp.sum(out ** 2)
+
+    g_pipe = jax.jit(jax.grad(loss_pipe))(stacked)
+    g_seq = jax.jit(jax.grad(loss_seq))(stacked)
+    for a, b in zip(jax.tree.leaves(g_pipe), jax.tree.leaves(g_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_stack_unstack_roundtrip():
+    blocks = _mlp_params(jax.random.PRNGKey(4), 3, 8, 16)
+    stacked = stack_params(blocks)
+    back = unstack_params(stacked)
+    assert len(back) == 3
+    for a, b in zip(jax.tree.leaves(back[2]), jax.tree.leaves(blocks[2])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_vit_pipeline_matches_full_model():
+    mesh = make_mesh("data=2,pipe=4")
+    model = VisionTransformer(TINY, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(5), (8, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(6), x, True)
+    ref = model.apply(variables, x, True)
+
+    rest, blocks = split_vit_params(dict(variables["params"]), TINY.depth)
+    out = jax.jit(lambda b, xx: vit_pipeline_features(
+        TINY, rest, b, xx, mesh, dtype=jnp.float32))(blocks, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # param-tree interchange roundtrip (checkpoint compatibility)
+    merged = merge_vit_params(rest, blocks)
+    for a, b in zip(jax.tree.leaves(merged),
+                    jax.tree.leaves(dict(variables["params"]))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pipeline_classifier_trains_and_matches_dp_loss():
+    mesh = make_mesh("data=2,pipe=4")
+    params, opt_state, step = build_pipeline_classifier(
+        TINY, num_classes=5, mesh=mesh, image_size=32, lr=1e-2)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.randn(8, 32, 32, 3), jnp.float32),
+        "label": jnp.asarray(rng.randint(0, 5, size=(8,))),
+    }
+    # the pipelined loss must equal the unpipelined forward's loss exactly
+    model = VisionTransformer(TINY, dtype=jnp.float32)
+    feats = model.apply(
+        {"params": merge_vit_params(params["rest"],
+                                    params["blocks"])}, batch["image"], True)
+    logits = (np.asarray(feats, np.float32)
+              @ np.asarray(params["head"]["kernel"])
+              + np.asarray(params["head"]["bias"]))
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    ref_loss = -logp[np.arange(8), np.asarray(batch["label"])].mean()
+
+    p1, o1, loss1 = step(params, opt_state, batch)
+    assert np.isfinite(float(loss1))
+    np.testing.assert_allclose(float(loss1), ref_loss, rtol=1e-4)
+    # blocks stay pipe-sharded through the step, and the loss goes down
+    spec = p1["blocks"]["attn"]["qkv"]["kernel"].sharding.spec
+    assert spec[0] == "pipe"
+    _, _, loss2 = step(p1, o1, batch)
+    assert float(loss2) < float(loss1)
+
+
+def test_pipeline_shape_validation():
+    mesh = make_mesh("data=2,pipe=4")
+    blocks = stack_params(_mlp_params(jax.random.PRNGKey(7), 6, 8, 8))
+    x = jnp.zeros((8, 2, 8))
+    with pytest.raises(ValueError, match="stages"):
+        pipeline_apply(_mlp_block, blocks, x, mesh)  # 6 % 4 != 0
+    blocks4 = stack_params(_mlp_params(jax.random.PRNGKey(8), 4, 8, 8))
+    with pytest.raises(ValueError, match="microbatches"):
+        pipeline_apply(_mlp_block, blocks4, jnp.zeros((6, 2, 8)), mesh,
+                       num_microbatches=4)  # local batch 3 % 4 != 0

@@ -8,6 +8,7 @@ instead of rank/world-size process groups, a single SPMD program over a
 - ``data``  — batch (data parallel; gradient psum rides ICI)
 - ``model`` — tensor parallel (QKV/MLP column/row sharding)
 - ``seq``   — sequence/context parallel (reserved; ring attention extension)
+- ``pipe``  — pipeline parallel (GPipe microbatch schedule, ``pipeline.py``)
 
 ``make_mesh('')`` puts every device on ``data`` — the reference's only real
 multi-chip need (SURVEY.md §2c).  ``make_mesh('data=4,model=2')`` etc. carve
@@ -23,15 +24,15 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-AXES = ("data", "model", "seq")
+AXES = ("data", "model", "seq", "pipe")
 
 
-def parse_mesh_spec(spec: str, n_devices: int) -> Tuple[int, int, int]:
-    """``'data=4,model=2'`` → (4, 2, 1); '' → (n_devices, 1, 1).
+def parse_mesh_spec(spec: str, n_devices: int) -> Tuple[int, int, int, int]:
+    """``'data=4,model=2'`` → (4, 2, 1, 1); '' → (n_devices, 1, 1, 1).
 
     A single ``-1`` entry absorbs the remaining devices.
     """
-    sizes = {"data": 0, "model": 0, "seq": 0}
+    sizes = {"data": 0, "model": 0, "seq": 0, "pipe": 0}
     if spec:
         for part in spec.split(","):
             k, _, v = part.partition("=")
@@ -53,15 +54,15 @@ def parse_mesh_spec(spec: str, n_devices: int) -> Tuple[int, int, int]:
         sizes[wild[0]] = n_devices // n_fixed
     elif not spec:
         sizes["data"] = n_devices
-    total = sizes["data"] * sizes["model"] * sizes["seq"]
+    total = math.prod(sizes[k] for k in AXES)
     if total != n_devices:
         raise ValueError(
             f"mesh {sizes} needs {total} devices, have {n_devices}")
-    return sizes["data"], sizes["model"], sizes["seq"]
+    return tuple(sizes[k] for k in AXES)
 
 
 def make_mesh(spec: str = "", devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
-    d, m, s = parse_mesh_spec(spec, len(devices))
-    arr = np.asarray(devices).reshape(d, m, s)
+    shape = parse_mesh_spec(spec, len(devices))
+    arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, AXES)
