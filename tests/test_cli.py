@@ -60,6 +60,22 @@ def test_cli_seq_parallel_mesh(tmp_path):
     assert abs(d["train"][-1]["loss"] - d1["train"][-1]["loss"]) < 1e-3
 
 
+def test_cli_pipeline_parallel_mesh(tmp_path):
+    """--mesh data=4,pipe=2 trains the ViT through the GPipe pipeline path
+    and matches the pure-DP trajectory."""
+    fp = str(tmp_path / "stats.json")
+    fp1 = str(tmp_path / "stats1.json")
+    common = ["--device", "cpu", "--dataset", "synthetic", "--arch",
+              "vit_tiny_test", "--epoch", "1", "--bs", "16",
+              "--image_size", "16", "--earlystop_epoch", "0", "--seed", "0"]
+    main(common + ["--mesh", "data=4,pipe=2", "--stats_fp", fp])
+    main(common + ["--mesh", "data=8", "--stats_fp", fp1])
+    d = json.load(open(fp))
+    d1 = json.load(open(fp1))
+    assert d["info"]["mesh"] == "data=4,pipe=2"
+    assert abs(d["train"][-1]["loss"] - d1["train"][-1]["loss"]) < 1e-3
+
+
 def test_coco_cli_flag_guards():
     """Invalid detection flag combinations exit with a clear message
     instead of silently mis-evaluating (round-2 advisor finding)."""

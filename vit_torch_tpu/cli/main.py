@@ -105,11 +105,11 @@ def main(argv: Optional[Sequence[str]] = None) -> Stats:
                                        auto_policy=args["aug_auto"] or None)),
         eval_transform=make_eval_transform(**data.norm_values, dtype=dtype),
     )
-    # scan mode handles single-chip and pure data-parallel meshes; TP/SP
+    # scan mode handles single-chip and pure data-parallel meshes; TP/SP/PP
     # meshes use the per-step sharded path
     use_scan = (args["scan"] and not args["fsdp"]
                 and mesh.shape["model"] == 1 and mesh.shape["seq"] == 1
-                and hasattr(data, "sets"))
+                and mesh.shape["pipe"] == 1 and hasattr(data, "sets"))
     sets = ({"train": data.sets["train"], "val": data.sets["test"]}
             if hasattr(data, "sets") and "test" in data.sets else None)
     if args["lineareval"] and args["cache_features"] and sets is not None:
@@ -123,8 +123,14 @@ def main(argv: Optional[Sequence[str]] = None) -> Stats:
         # ship the trained classifier as a serving bundle (weights +
         # in-graph normalization baked into StableHLO — serving/export.py)
         from vit_torch_tpu.serving import export_classifier, save_bundle
+        export_vars = jax.device_get(trainer.state.variables())
+        if trainer.from_pipe is not None:
+            # pipeline training keeps blocks stacked; bundles (like
+            # checkpoint interchange) use the standard layout
+            export_vars = {**export_vars,
+                           "params": trainer.from_pipe(export_vars["params"])}
         exported = export_classifier(
-            zoo_model, jax.device_get(trainer.state.variables()),
+            zoo_model, export_vars,
             image_size=data.image_size,
             batch_sizes=[int(b) for b in args["export_bs"].split(",") if b],
             norm=data.norm_values)

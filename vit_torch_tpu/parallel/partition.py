@@ -23,6 +23,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # (path regex, spec) — first match wins; paths are '/'-joined key strings
 DEFAULT_RULES: Tuple[Tuple[str, P], ...] = (
+    # stacked pipeline blocks (parallel/pipeline.py): leading layer axis is
+    # stage-sharded over 'pipe'; TP does not compose inside the pipeline's
+    # shard_map region, so block params carry no 'model' axis
+    (r".*/pipe_blocks/.*", P("pipe")),
     (r".*/attn/qkv/kernel$", P(None, "model")),
     (r".*/attn/qkv/bias$", P("model")),
     (r".*/attn/proj/kernel$", P("model", None)),
@@ -126,6 +130,10 @@ def add_fsdp_axis(params: Any, specs: Any, mesh: Mesh, axis: str = "data",
         shape = getattr(leaf, "shape", ())
         n = getattr(leaf, "size", 0)
         if not shape or n < min_size:
+            return spec
+        if "pipe" in spec:
+            # pipeline-stage params enter a shard_map region that requires
+            # them replicated over every axis but 'pipe' — no FSDP on top
             return spec
         parts = list(spec) + [None] * (len(shape) - len(spec))
         # largest free, divisible dim

@@ -199,6 +199,74 @@ def vit_pipeline_features(config, rest: dict, blocks, x: jax.Array,
     return h if return_all_tokens else h[:, 0]
 
 
+def zoo_pipeline_forms(zoo_model, mesh: Mesh, *,
+                       num_microbatches: Optional[int] = None):
+    """Make a ViT-family ``ZooModel`` trainable under a ``pipe`` mesh axis.
+
+    Returns ``(to_pipe, from_pipe, apply_fn)``:
+
+    - ``to_pipe(params)`` re-lays the standard ``{'backbone', 'head'}`` tree
+      into the pipeline form — ``backbone = {'rest', 'pipe_blocks'}`` with
+      the L blocks stacked on a leading layer axis (``partition.py`` rules
+      stage-shard ``pipe_blocks`` over ``pipe``);
+    - ``from_pipe(params)`` is the exact inverse (checkpoint interchange —
+      torch importers and orbax trees stay in the standard layout);
+    - ``apply_fn(variables, x, deterministic, rngs=None, mutable=None)`` is
+      a drop-in for ``zoo_model.model.apply`` that routes the block stack
+      through :func:`pipeline_apply`.
+
+    Only architecturally-uniform, rate-free ViTs pipeline (see module
+    docstring): nonzero drop/droppath rates are rejected.
+    """
+    from vit_torch_tpu.models.vit import VisionTransformer
+
+    backbone = zoo_model.model.backbone
+    if not isinstance(backbone, VisionTransformer):
+        raise ValueError(
+            f"pipeline parallelism supports plain ViT backbones; "
+            f"{zoo_model.arch!r} has {type(backbone).__name__}")
+    config = backbone.config
+    if config.drop_rate or config.attn_drop_rate or config.drop_path_rate:
+        raise ValueError(
+            "pipeline parallelism runs blocks deterministically; nonzero "
+            "drop/droppath rates are not representable (see pipeline.py)")
+    if config.depth % mesh.shape[PIPE_AXIS]:
+        raise ValueError(
+            f"depth {config.depth} not divisible into "
+            f"{mesh.shape[PIPE_AXIS]} pipeline stages")
+    head = zoo_model.model.head
+    dtype = backbone.dtype
+
+    def to_pipe(params):
+        rest, blocks = split_vit_params(dict(params["backbone"]),
+                                        config.depth)
+        out = dict(params)
+        out["backbone"] = {"rest": rest, "pipe_blocks": blocks}
+        return out
+
+    def from_pipe(params):
+        bb = params["backbone"]
+        out = dict(params)
+        out["backbone"] = merge_vit_params(dict(bb["rest"]),
+                                           bb["pipe_blocks"])
+        return out
+
+    def apply_fn(variables, x, deterministic=True, rngs=None, mutable=None):
+        del rngs  # rate-free (asserted above): no dropout streams to thread
+        bb = variables["params"]["backbone"]
+        feats = vit_pipeline_features(
+            config, bb["rest"], bb["pipe_blocks"], x, mesh,
+            num_microbatches=num_microbatches, dtype=dtype)
+        if head is not None and "head" in variables["params"]:
+            feats = head.apply(
+                {"params": variables["params"]["head"]}, feats)
+        if mutable:
+            return feats, {}
+        return feats
+
+    return to_pipe, from_pipe, apply_fn
+
+
 def build_pipeline_classifier(config, num_classes: int, mesh: Mesh, *,
                               image_size: int, lr: float = 1e-3,
                               num_microbatches: Optional[int] = None,

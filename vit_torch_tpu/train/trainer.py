@@ -121,11 +121,23 @@ class Trainer:
             variables = init_params
             init_params = variables["params"]
             model_state = {k: v for k, v in variables.items() if k != "params"}
+
+        apply_fn = zoo_model.model.apply
+        self.from_pipe = None
+        if mesh is not None and mesh.shape.get("pipe", 1) > 1:
+            # pipeline parallelism: re-lay the backbone into the stacked
+            # stage-sharded form and swap in the GPipe apply_fn (importers /
+            # checkpoints stay in the standard layout via from_pipe)
+            from vit_torch_tpu.parallel.pipeline import zoo_pipeline_forms
+            to_pipe, self.from_pipe, apply_fn = zoo_pipeline_forms(
+                zoo_model, mesh)
+            init_params = to_pipe(init_params)
+
         self.state: TrainState = create_train_state(
             state_rng, init_params, self.tx, lineareval=lineareval,
             model_state=model_state)
+        self._apply_fn = apply_fn
 
-        apply_fn = zoo_model.model.apply
         if mesh is not None:
             from vit_torch_tpu.parallel.api import shard_train_fns
             self.train_step, self.eval_step, self.state = shard_train_fns(
@@ -211,7 +223,7 @@ class Trainer:
     def _predict_labels(self, batch):
         """Argmax class predictions for the debug-eval dump (jitted once)."""
         if not hasattr(self, "_debug_predict_fn"):
-            apply_fn = self.zoo_model.model.apply
+            apply_fn = self._apply_fn  # pipeline meshes swap in their own
             transform = self.eval_transform
 
             @jax.jit
@@ -295,6 +307,9 @@ class Trainer:
         from vit_torch_tpu.train.scan import (
             epoch_indices, make_scan_eval_fn, make_scan_train_fn)
 
+        if self.from_pipe is not None:
+            raise ValueError("epoch-scan mode does not pipeline; use the "
+                             "per-step path (fit) with a pipe mesh")
         apply_fn = self.zoo_model.model.apply
         train_run = make_scan_train_fn(apply_fn, self.tx, self.augment_fn,
                                        mesh=self.mesh)
@@ -321,6 +336,9 @@ class Trainer:
         from vit_torch_tpu.train.steps import create_train_state
 
         assert self.lineareval, "fit_lineareval_cached requires lineareval"
+        if self.from_pipe is not None:
+            raise ValueError("cached lineareval does not pipeline; use the "
+                             "per-step path (fit) with a pipe mesh")
         backbone = self.zoo_model.model.backbone
         head = self.zoo_model.model.head
         assert head is not None
