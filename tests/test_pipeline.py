@@ -188,6 +188,50 @@ def test_trainer_pipeline_lineareval():
     assert losses[-1] < losses[0]
 
 
+def test_pipeline_checkpoint_cross_mesh(tmp_path):
+    """Checkpoints written under a pipe mesh use the standard layout and
+    resume under any mesh — and standard checkpoints resume under pipe."""
+    from vit_torch_tpu.parallel.pipeline import state_from_pipe, state_to_pipe
+
+    _, tr, state = _trainer_losses("data=4,pipe=2", steps=2)
+    tr.state = state
+    ck = str(tmp_path / "ck")
+    tr._maybe_checkpoint(0, val_acc=0.5)
+    assert not tr.ckpt_dir  # default trainer has no ckpt_dir: no-op
+    tr.ckpt_dir = ck
+    tr._maybe_checkpoint(0, val_acc=0.5)
+
+    # round-trip sanity of the layout converters on the live state
+    std_state = state_from_pipe(state)
+    assert "blocks_0" in std_state.params["backbone"]
+    back = state_to_pipe(std_state)
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resume the pipe checkpoint under a pure-DP mesh (standard layout)
+    from vit_torch_tpu.models import VisionModelZoo
+    from vit_torch_tpu.train.trainer import Trainer
+
+    zm = VisionModelZoo.get_model("vit_tiny_test", classifier=[10],
+                                  image_size=16, dtype=jnp.float32)
+    tr_dp = Trainer(zm, lr=0.05, opt="sgd", lr_scheduler="none",
+                    image_size=16, print_progress=False,
+                    mesh=make_mesh("data=8"), seed=3, resume=ck)
+    for a, b in zip(jax.tree.leaves(tr_dp.state.params),
+                    jax.tree.leaves(std_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and resume the same (standard-layout) checkpoint under a pipe mesh
+    tr_pp = Trainer(zm, lr=0.05, opt="sgd", lr_scheduler="none",
+                    image_size=16, print_progress=False,
+                    mesh=make_mesh("data=4,pipe=2"), seed=3, resume=ck)
+    blocks = tr_pp.state.params["backbone"]["pipe_blocks"]
+    assert blocks["attn"]["qkv"]["kernel"].sharding.spec[0] == "pipe"
+    for a, b in zip(jax.tree.leaves(tr_pp.state.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pipeline_shape_validation():
     mesh = make_mesh("data=2,pipe=4")
     blocks = stack_params(_mlp_params(jax.random.PRNGKey(7), 6, 8, 8))

@@ -241,7 +241,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     if args.mesh:
         from vit_torch_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(args.mesh)
-        if mesh.shape.get("model", 1) != 1 or mesh.shape.get("seq", 1) != 1:
+        if any(mesh.shape.get(ax, 1) != 1 for ax in ("model", "seq", "pipe")):
             raise SystemExit("detection supports data-parallel meshes only "
                              "(e.g. --mesh data=8)")
         if args.bs % mesh.shape["data"]:

@@ -98,7 +98,7 @@ def main(argv: Optional[Sequence[str]] = None) -> Stats:
         image_size=data.image_size, image_channels=image_channels,
         init_params=init_params, mesh=mesh, fsdp=args["fsdp"],
         ckpt_dir=args["ckpt_dir"], save_every=args["save_every"],
-        resume=args["resume"],
+        resume=args["resume"], pipe_microbatches=args["pipe_microbatches"],
         augment_fn=(data.make_augment_fn(dtype=dtype)
                     if hasattr(data, "make_augment_fn") else
                     make_train_augment(**data.norm_values, dtype=dtype,
@@ -113,6 +113,12 @@ def main(argv: Optional[Sequence[str]] = None) -> Stats:
     sets = ({"train": data.sets["train"], "val": data.sets["test"]}
             if hasattr(data, "sets") and "test" in data.sets else None)
     if args["lineareval"] and args["cache_features"] and sets is not None:
+        if args["fsdp"]:
+            # the cached path runs unsharded scan fns — silently dropping
+            # the requested ZeRO-3 sharding would defeat its purpose
+            raise SystemExit("--fsdp is not supported with --cache_features "
+                             "(the cached lineareval path is single-program);"
+                             " drop one of the two flags")
         trainer.fit_lineareval_cached(sets, args["bs"])
     elif use_scan and sets is not None:
         trainer.fit_scan(sets, args["bs"])

@@ -166,6 +166,40 @@ def merge_vit_params(rest: dict, blocks) -> dict:
     return out
 
 
+def _is_pipe_backbone(x) -> bool:
+    return isinstance(x, dict) and set(x) == {"rest", "pipe_blocks"}
+
+
+def _is_std_backbone(x) -> bool:
+    return isinstance(x, dict) and "blocks_0" in x
+
+
+def state_from_pipe(tree):
+    """Re-lay every pipe-form backbone inside ``tree`` into the standard
+    layout.  Works on whole ``TrainState``s (params, frozen, and the
+    optimizer moments all carry params-shaped subtrees) — this is the
+    checkpoint-interchange direction: orbax checkpoints are always written
+    in the standard layout so they resume under any mesh.
+    """
+    def fix(x):
+        return (merge_vit_params(dict(x["rest"]), x["pipe_blocks"])
+                if _is_pipe_backbone(x) else x)
+    return jax.tree.map(fix, tree, is_leaf=_is_pipe_backbone)
+
+
+def state_to_pipe(tree):
+    """Inverse of :func:`state_from_pipe`: re-lay every standard-layout
+    backbone inside ``tree`` into the stacked pipeline form (depth inferred
+    from the ``blocks_i`` keys present)."""
+    def fix(x):
+        if _is_std_backbone(x):
+            depth = sum(1 for k in x if k.startswith("blocks_"))
+            rest, blocks = split_vit_params(dict(x), depth)
+            return {"rest": rest, "pipe_blocks": blocks}
+        return x
+    return jax.tree.map(fix, tree, is_leaf=_is_std_backbone)
+
+
 def vit_pipeline_features(config, rest: dict, blocks, x: jax.Array,
                           mesh: Mesh, *, num_microbatches: Optional[int] = None,
                           dtype=jnp.bfloat16,
@@ -180,6 +214,13 @@ def vit_pipeline_features(config, rest: dict, blocks, x: jax.Array,
     """
     from vit_torch_tpu.models.layers import Block, LayerNorm, PatchEmbed
 
+    if config.drop_rate or config.attn_drop_rate or config.drop_path_rate:
+        # same contract zoo_pipeline_forms enforces: the shared-stage
+        # pipeline runs blocks deterministically, so silently dropping the
+        # regularization would train a different model
+        raise ValueError(
+            "pipeline parallelism runs blocks deterministically; nonzero "
+            "drop/droppath rates are not representable (see pipeline.py)")
     B = x.shape[0]
     h = PatchEmbed(config.patch_size, config.embed_dim, dtype=dtype).apply(
         {"params": rest["patch_embed"]}, x)
@@ -318,14 +359,15 @@ def build_pipeline_classifier(config, num_classes: int, mesh: Mesh, *,
     opt_state = jax.device_put(opt_state, o_shard)
 
     def loss_fn(p, batch):
+        from vit_torch_tpu.train.steps import cross_entropy_loss
+
         feats = vit_pipeline_features(
             config, p["rest"], p["blocks"], batch["image"], mesh,
             num_microbatches=num_microbatches, dtype=dtype)
         logits = (jnp.dot(feats.astype(jnp.float32), p["head"]["kernel"])
                   + p["head"]["bias"])
-        logp = jax.nn.log_softmax(logits)
-        onehot = jax.nn.one_hot(batch["label"], num_classes)
-        return -jnp.mean(jnp.sum(onehot * logp, axis=-1))
+        mask = batch.get("mask", jnp.ones(logits.shape[0], jnp.float32))
+        return cross_entropy_loss(logits, batch["label"], mask)
 
     def step(p, o, batch):
         loss, grads = jax.value_and_grad(loss_fn)(p, batch)

@@ -87,6 +87,7 @@ class Trainer:
         ckpt_dir: str = "",
         save_every: int = 0,
         resume: str = "",
+        pipe_microbatches: int = 0,
         print_progress: bool = True,
     ) -> None:
         self.zoo_model = zoo_model
@@ -130,7 +131,7 @@ class Trainer:
             # checkpoints stay in the standard layout via from_pipe)
             from vit_torch_tpu.parallel.pipeline import zoo_pipeline_forms
             to_pipe, self.from_pipe, apply_fn = zoo_pipeline_forms(
-                zoo_model, mesh)
+                zoo_model, mesh, num_microbatches=pipe_microbatches or None)
             init_params = to_pipe(init_params)
 
         self.state: TrainState = create_train_state(
@@ -157,7 +158,18 @@ class Trainer:
         if resume:
             from vit_torch_tpu.checkpoint.orbax_io import (
                 best_saved_metric, latest_step, restore_checkpoint)
-            self.state = restore_checkpoint(resume, self.state)
+            if self.from_pipe is not None:
+                # checkpoints are written in the standard layout (see
+                # _ckpt_state); restore through a standard-layout template,
+                # then re-stack onto this run's pipe shardings
+                from vit_torch_tpu.parallel.pipeline import (
+                    state_from_pipe, state_to_pipe)
+                template = jax.eval_shape(state_from_pipe, self.state)
+                restored = state_to_pipe(restore_checkpoint(resume, template))
+                self.state = jax.device_put(
+                    restored, jax.tree.map(lambda x: x.sharding, self.state))
+            else:
+                self.state = restore_checkpoint(resume, self.state)
             # resume at the epoch after the last completed one; the epoch
             # index is stored as the checkpoint step (note: step 0 is valid)
             last = latest_step(resume)
@@ -256,6 +268,12 @@ class Trainer:
         from vit_torch_tpu.checkpoint.orbax_io import (
             BEST_SUBDIR, save_checkpoint)
         st = self.state if state is None else state
+        if self.from_pipe is not None:
+            # write checkpoints in the standard layout so they resume under
+            # any mesh (and feed the importers/exporters unchanged); the
+            # unstack is L cheap slices, paid only at save time
+            from vit_torch_tpu.parallel.pipeline import state_from_pipe
+            st = state_from_pipe(st)
         save_checkpoint(self.ckpt_dir, st, epoch,
                         metrics={"val_acc": val_acc})
         if is_best:

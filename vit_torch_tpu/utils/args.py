@@ -178,6 +178,9 @@ def classification_config(stamp: Optional[str] = None) -> List[Tuple]:
         ("seed", 0, int, None, "PRNG seed"),
         ("mesh", "", str, None,
          "mesh spec like 'data=8' or 'data=4,model=2' ('' = all devices on data)"),
+        ("pipe_microbatches", 0, int, None,
+         "GPipe microbatches per step under a pipe mesh axis (0 = one per "
+         "stage; raise to amortize the fill/drain bubble)"),
         ("fsdp", False, bool, None,
          "ZeRO-3: shard params + optimizer moments over the data axis "
          "(per-step mesh path; implies --scan 0)"),
