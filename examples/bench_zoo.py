@@ -87,6 +87,13 @@ def main() -> None:
         except Exception as e:         # keep the sweep alive per-arch
             out = {"name": cfg["name"], "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(out), flush=True)
+        prev = next((r for r in results if r.get("name") == out["name"]), None)
+        if "error" in out and prev is not None and "error" not in prev:
+            # a failed re-run (e.g. transient tunnel HTTP 500) must not
+            # evict a previously-measured standing from the artifact
+            print(f"keeping previous result for {out['name']!r} "
+                  f"(re-run failed)", flush=True)
+            continue
         results = [r for r in results if r.get("name") != out["name"]]
         results.append(out)
         order = {c["name"]: i for i, c in enumerate(ZOO_CONFIGS)}

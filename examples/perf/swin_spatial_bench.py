@@ -2,8 +2,10 @@
 
 Times swin_base_384 lineareval-style forward (bs32, 20-step scan per
 dispatch) with VITX_FUSED_SPATIAL=0 (pre-partitioned kernel + XLA
-partition/reverse transposes) vs =1 (6-D view BlockSpec, transposes folded
-into the kernel DMA), and checks logits agreement at the real shape.
+partition/reverse transposes) vs =1 (row-band BlockSpec slices + in-VMEM
+strided window repack — NOT the abandoned 6-D-view variant, which XLA
+preceded with a physical relayout copy and measured only +0.7%; see
+PERF.md lever #1), and checks logits agreement at the real shape.
 `swin_overhead_ablation.json` bounds the recoverable overhead at +12.6%.
 
 Writes examples/perf/swin_spatial_bench.json.

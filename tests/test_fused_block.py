@@ -199,8 +199,7 @@ def test_window_block_spatial_forward(masked):
     y, w_qkv, b_qkv, bias, mask, w_proj, b_proj = _wbs_inputs()
     H, w = 4, 4
     m = mask if masked else None
-    assert fits_spatial(y.shape[0], y.shape[1], y.shape[2], w, y.shape[3],
-                        H, masked)
+    assert fits_spatial(y.shape[1], y.shape[2], w, y.shape[3], H, masked)
     ours = window_block_spatial(y, w_qkv, b_qkv, bias, m, w_proj, b_proj,
                                 num_heads=H, window=w)
     ref = _wbs_ref(y, w_qkv, b_qkv, bias, m, w_proj, b_proj, w, H)
@@ -232,36 +231,54 @@ def test_window_block_spatial_backward():
                                    atol=5e-4, rtol=1e-3, err_msg=name)
 
 
-def test_window_block_spatial_head_split():
+@pytest.mark.parametrize("masked", [False, True])
+def test_window_block_spatial_head_split(masked):
     """groups > 1 (stage-4 C wide enough to trip head-split) matches the
-    reference — exercised by forcing pick via a wide-C input."""
-    from vit_torch_tpu.ops.window_block import (
-        _window_block_spatial, pick_config_spatial)
+    single-group kernel — incl. the masked combination (mask re-padded and
+    BlockSpec-indexed per group call)."""
+    from vit_torch_tpu.ops.window_block import _window_block_spatial
     y, w_qkv, b_qkv, bias, mask, w_proj, b_proj = _wbs_inputs(
         B=1, Hp=8, Wp=8, C=256, H=8, seed=3)
-    w = 4
+    m = mask if masked else None
     out_g1 = _window_block_spatial(
         y, w_qkv, b_qkv.reshape(1, -1), bias,
-        None, w_proj, b_proj.reshape(1, -1), 8, (256 // 8) ** -0.5, 2, 4, 1)
+        m, w_proj, b_proj.reshape(1, -1), 8, (256 // 8) ** -0.5, 2, 4, 1)
     out_g2 = _window_block_spatial(
         y, w_qkv, b_qkv.reshape(1, -1), bias,
-        None, w_proj, b_proj.reshape(1, -1), 8, (256 // 8) ** -0.5, 2, 4, 2)
+        m, w_proj, b_proj.reshape(1, -1), 8, (256 // 8) ** -0.5, 2, 4, 2)
     np.testing.assert_allclose(np.asarray(out_g1), np.asarray(out_g2),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_window_block_spatial_head_split_window7_masked():
+    """Masked + head-split at a padded window (w=7, N=49→64) — the
+    sublane-padding and per-group mask paths compose."""
+    from vit_torch_tpu.ops.window_block import _window_block_spatial
+    y, w_qkv, b_qkv, bias, mask, w_proj, b_proj = _wbs_inputs(
+        B=1, Hp=14, Wp=14, w=7, C=128, H=4, seed=5)
+    scale = (128 // 4) ** -0.5
+    outs = [
+        _window_block_spatial(
+            y, w_qkv, b_qkv.reshape(1, -1), bias, mask, w_proj,
+            b_proj.reshape(1, -1), 4, scale, 2, 7, g)
+        for g in (1, 2)
+    ]
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[1]),
                                atol=3e-5, rtol=1e-4)
 
 
 def test_window_block_spatial_fits_gates():
     from vit_torch_tpu.ops.window_block import fits_spatial
     # window-7 (N=49): padded to 64 rows inside the kernel — fits
-    assert fits_spatial(32, 56, 56, 7, 128, 4, True)
+    assert fits_spatial(56, 56, 7, 128, 4, True)
     # swin_base_384 stages 1-3 (masked and not)
-    assert fits_spatial(32, 96, 96, 12, 128, 4, True)
-    assert fits_spatial(32, 48, 48, 12, 256, 8, False)
-    assert fits_spatial(32, 24, 24, 12, 512, 16, True)
+    assert fits_spatial(96, 96, 12, 128, 4, True)
+    assert fits_spatial(48, 48, 12, 256, 8, False)
+    assert fits_spatial(24, 24, 12, 512, 16, True)
     # map not window-tiled
-    assert not fits_spatial(32, 90, 96, 12, 128, 4, False)
+    assert not fits_spatial(90, 96, 12, 128, 4, False)
     # C not a 32-lane granule
-    assert not fits_spatial(32, 96, 96, 12, 120, 4, False)
+    assert not fits_spatial(96, 96, 12, 120, 4, False)
 
 
 @pytest.mark.parametrize("masked,C", [(True, 128), (False, 128),

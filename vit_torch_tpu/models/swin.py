@@ -182,7 +182,7 @@ def _use_fused_block_spatial(B: int, Hp: int, Wp: int, w: int, C: int,
     if mask is not None and mask.shape[0] != (Hp // w) * (Wp // w):
         return False
     from vit_torch_tpu.ops.window_block import fits_spatial
-    return fits_spatial(B, Hp, Wp, w, C, H, mask is not None)
+    return fits_spatial(Hp, Wp, w, C, H, mask is not None)
 
 
 def _use_fused_block(Bn: int, N: int, C: int, H: int, mask) -> bool:

@@ -131,6 +131,33 @@ def pick_config(nW_img: int, Bn: int, N: int, C: int, H: int,
 # forward kernel
 # --------------------------------------------------------------------------
 
+def _head_split(single_group_fn, w_qkv, b_qkv, bias, w_proj, b_proj,
+                num_heads: int, C: int, groups: int):
+    """Head-split mode (stage-4 shapes: C >= 1024 puts the full weight set
+    past VMEM): ``single_group_fn(wq, bq, bias, wp, bp, Hg)`` runs one
+    pallas call over H/G heads with sliced qkv columns / bias rows / proj
+    rows; the partial projections sum in XLA.  ``b_proj`` rides on group 0
+    only.  Shared by the flat (``_fwd_impl``) and spatial
+    (``_fwd_impl_spatial``) variants so the slicing convention cannot
+    diverge."""
+    Hg = num_heads // groups
+    Ca = C // groups
+    out = None
+    for g in range(groups):
+        wq_g = jnp.concatenate(
+            [w_qkv[:, t * C + g * Ca:t * C + (g + 1) * Ca]
+             for t in range(3)], axis=1)                 # (C, 3Ca)
+        bq_g = jnp.concatenate(
+            [b_qkv[:, t * C + g * Ca:t * C + (g + 1) * Ca]
+             for t in range(3)], axis=1)                 # (1, 3Ca)
+        bias_g = bias[g * Hg:(g + 1) * Hg]
+        wp_g = w_proj[g * Ca:(g + 1) * Ca, :]            # (Ca, C)
+        bp_g = b_proj if g == 0 else jnp.zeros_like(b_proj)
+        part = single_group_fn(wq_g, bq_g, bias_g, wp_g, bp_g, Hg)
+        out = part if out is None else out + part
+    return out
+
+
 def _block_compute(x, wqkv_ref, bqkv_ref, bias_ref, mask, wproj_ref,
                    bproj_ref, *, WB: int, N: int, num_heads: int,
                    scale: float, kv_len: int):
@@ -192,27 +219,10 @@ def _fwd_impl(x, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads, scale,
     Bn, N, C = x.shape
     has_mask = mask is not None
     if groups > 1:
-        # head-split mode (stage-4 shapes: C >= 1024 puts the full weight
-        # set past VMEM): each pallas call covers H/G heads with sliced
-        # qkv columns / bias rows / proj rows; partial projections sum in
-        # XLA.  b_proj rides on group 0 only.
-        Hg = num_heads // groups
-        Ca = C // groups
-        out = None
-        for g in range(groups):
-            wq_g = jnp.concatenate(
-                [w_qkv[:, t * C + g * Ca:t * C + (g + 1) * Ca]
-                 for t in range(3)], axis=1)                 # (C, 3Ca)
-            bq_g = jnp.concatenate(
-                [b_qkv[:, t * C + g * Ca:t * C + (g + 1) * Ca]
-                 for t in range(3)], axis=1)                 # (1, 3Ca)
-            bias_g = bias[g * Hg:(g + 1) * Hg]
-            wp_g = w_proj[g * Ca:(g + 1) * Ca, :]            # (Ca, C)
-            bp_g = b_proj if g == 0 else jnp.zeros_like(b_proj)
-            part = _fwd_impl(x, wq_g, bq_g, bias_g, mask, wp_g, bp_g,
-                             Hg, scale, wb, kv_len)
-            out = part if out is None else out + part
-        return out
+        return _head_split(
+            lambda wq, bq, bg, wp, bp, Hg: _fwd_impl(
+                x, wq, bq, bg, mask, wp, bp, Hg, scale, wb, kv_len),
+            w_qkv, b_qkv, bias, w_proj, b_proj, num_heads, C, groups)
     Ca = w_qkv.shape[1] // 3
     grid = (Bn // wb,)
     xspec = pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0))
@@ -435,25 +445,10 @@ def _fwd_impl_spatial(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
     nH, nWc = Hp // w, Wp // w
     has_mask = mask is not None
     if groups > 1:
-        # head-split mode (see _fwd_impl): G pallas calls with sliced
-        # qkv columns / bias rows / proj rows; partials sum in XLA
-        Hg = num_heads // groups
-        Ca = C // groups
-        out = None
-        for g in range(groups):
-            wq_g = jnp.concatenate(
-                [w_qkv[:, t * C + g * Ca:t * C + (g + 1) * Ca]
-                 for t in range(3)], axis=1)
-            bq_g = jnp.concatenate(
-                [b_qkv[:, t * C + g * Ca:t * C + (g + 1) * Ca]
-                 for t in range(3)], axis=1)
-            bias_g = bias[g * Hg:(g + 1) * Hg]
-            wp_g = w_proj[g * Ca:(g + 1) * Ca, :]
-            bp_g = b_proj if g == 0 else jnp.zeros_like(b_proj)
-            part = _fwd_impl_spatial(y, wq_g, bq_g, bias_g, mask, wp_g,
-                                     bp_g, Hg, scale, wbw, window)
-            out = part if out is None else out + part
-        return out
+        return _head_split(
+            lambda wq, bq, bg, wp, bp, Hg: _fwd_impl_spatial(
+                y, wq, bq, bg, mask, wp, bp, Hg, scale, wbw, window),
+            w_qkv, b_qkv, bias, w_proj, b_proj, num_heads, C, groups)
     Ca = w_qkv.shape[1] // 3
     N = w * w
     NP = _pad_sublane(N)
@@ -499,22 +494,6 @@ def _fwd_impl_spatial(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
     )(*args)
 
 
-def _partition4(y, w):
-    """(B, Hp, Wp, C) → (B·nW, w², C) windows (XLA transpose — used only on
-    the backward-recompute path; mirrors ``models/swin.py``
-    ``window_partition``)."""
-    B, Hp, Wp, C = y.shape
-    return y.reshape(B, Hp // w, w, Wp // w, w, C) \
-        .transpose(0, 1, 3, 2, 4, 5).reshape(-1, w * w, C)
-
-
-def _reverse4(wins, w, Hp, Wp):
-    C = wins.shape[-1]
-    B = wins.shape[0] // (Hp * Wp // w // w)
-    return wins.reshape(B, Hp // w, Wp // w, w, w, C) \
-        .transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def _window_block_spatial(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
                           num_heads, scale, wbw, window, groups):
@@ -535,12 +514,16 @@ def _wbs_bwd(num_heads, scale, wbw, window, groups, res, do):
     # pays the transposes in the backward only; the forward never does
     y, w_qkv, b_qkv, bias, mask, w_proj, b_proj = res
     _, Hp, Wp, _ = y.shape
+    # lazy import: the window layout contract (mask/window-major order the
+    # kernels depend on) is defined once in models/swin.py; ops→models at
+    # module level would cycle
+    from vit_torch_tpu.models.swin import window_partition, window_reverse
 
     def fwd(y, w_qkv, b_qkv, bias, w_proj, b_proj):
-        wins = _partition4(y, window)
+        wins = window_partition(y, window)
         out = _ref_forward(wins, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
                            num_heads, scale)
-        return _reverse4(out, window, Hp, Wp)
+        return window_reverse(out, window, Hp, Wp)
 
     _, vjp = jax.vjp(fwd, y, w_qkv, b_qkv, bias, w_proj, b_proj)
     dy, dw_qkv, db_qkv, dbias, dw_proj, db_proj = vjp(do)
@@ -597,10 +580,11 @@ def pick_config_spatial(nWc: int, N: int, C: int, H: int, has_mask: bool):
     return 0, 0
 
 
-def fits_spatial(B: int, Hp: int, Wp: int, window: int, C: int,
+def fits_spatial(Hp: int, Wp: int, window: int, C: int,
                  num_heads: int, has_mask: bool) -> bool:
     """True when the band-gather spatial kernel can run at these shapes
-    (unaligned w² is padded to a 16-multiple inside the kernel)."""
+    (unaligned w² is padded to a 16-multiple inside the kernel; the batch
+    dim never matters — the grid parallelizes over it)."""
     w = window
     if C % num_heads or C % 32:
         return False
