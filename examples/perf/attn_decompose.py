@@ -1,5 +1,8 @@
 """Decompose the exact-softmax attention kernel's time: matmuls-only vs
-softmax-only vs full, plus bf16-exp and no-max variants."""
+softmax-only vs full, plus bf16-exp and no-max variants.
+
+Slope-timed (see slope_timing.py): the rep-count slope cancels the ~22 ms
+per-dispatch tunnel floor the original length=10 average baked in."""
 import functools, os, sys, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 sys.path.insert(0, "/root/repo")
@@ -69,16 +72,25 @@ def run(kern, name):
         out_shape=jax.ShapeDtypeStruct((B * H, NP, D), jnp.bfloat16),
         grid=(B * H,), in_specs=[spec, spec, spec], out_specs=spec,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)))
-    @jax.jit
-    def many(q, k, v):
-        def body(c, _):
-            return f(c, k, v), ()
-        out, _ = jax.lax.scan(body, q, None, length=10)
-        return out
-    out = many(q, k, v); float(jnp.sum(out))
-    t0 = time.perf_counter()
-    out = many(q, k, v); float(jnp.sum(out))
-    dt = (time.perf_counter() - t0) / 10
+    def make(length):
+        @jax.jit
+        def many(q, k, v):
+            def body(c, _):
+                return f(c, k, v), ()
+            out, _ = jax.lax.scan(body, q, None, length=length)
+            return out
+        return many
+    reps, trials, mins = (10, 60), 3, []
+    for r in reps:
+        many = make(r)
+        out = many(q, k, v); float(jnp.sum(out))
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            out = many(q, k, v); float(jnp.sum(out))
+            best = min(best, time.perf_counter() - t0)
+        mins.append(best)
+    dt = (mins[1] - mins[0]) / (reps[1] - reps[0])
     flops = 2 * B * H * (NP * NP * D * 2)
     print(f"{name}: {dt*1000:.3f} ms  {flops/dt/1e12:.1f} TF/s", flush=True)
     return out

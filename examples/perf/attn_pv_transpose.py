@@ -11,6 +11,9 @@ headline shape (B=32, H=12, N=785, D=64, bf16), three variants:
   a) baseline: s = q k^T; p = softmax; o = p v               (current)
   b) pv_t:     o^T = v^T p^T, transpose o back
   c) both_t:   s^T = k q^T (same shapes), then o^T = v^T p^T
+
+Slope-timed (see slope_timing.py): the rep-count slope cancels the ~22 ms
+per-dispatch tunnel floor the original length=10 average baked in.
 """
 import functools
 import os
@@ -92,19 +95,29 @@ def run(kern, name):
             dimension_semantics=("parallel",)),
     )
 
-    @jax.jit
-    def many(q, k, v):
-        def body(c, _):
-            return f(c, k, v), ()
-        out, _ = jax.lax.scan(body, q, None, length=10)
-        return out
+    def make(length):
+        @jax.jit
+        def many(q, k, v):
+            def body(c, _):
+                return f(c, k, v), ()
+            out, _ = jax.lax.scan(body, q, None, length=length)
+            return out
+        return many
 
-    out = many(q, k, v)
-    float(jnp.sum(out))                     # fence
-    t0 = time.perf_counter()
-    out = many(q, k, v)
-    float(jnp.sum(out))
-    dt = (time.perf_counter() - t0) / 10
+    reps, trials, mins = (10, 60), 3, []
+    out = None
+    for r in reps:
+        many = make(r)
+        out = many(q, k, v)
+        float(jnp.sum(out))                 # compile + warm, fence
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            out = many(q, k, v)
+            float(jnp.sum(out))
+            best = min(best, time.perf_counter() - t0)
+        mins.append(best)
+    dt = (mins[1] - mins[0]) / (reps[1] - reps[0])
     flops = 2 * B * H * (NP * NP * D * 2)
     print(f"{name}: {dt * 1000:.3f} ms  {flops / dt / 1e12:.1f} TF/s",
           flush=True)

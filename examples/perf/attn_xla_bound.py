@@ -1,5 +1,10 @@
 """Upper-bound check: pure-XLA batched QK^T + PV at the headline shape, plus
-a pallas variant with q-blocked grid (multiple programs per bh => pipelining)."""
+a pallas variant with q-blocked grid (multiple programs per bh => pipelining).
+
+Slope-timed (see slope_timing.py): per-op ms is the slope of scan wall time
+over two rep counts, cancelling the ~22 ms per-dispatch tunnel floor.  The
+original version averaged over length=10 (2.2 ms/rep of floor baked into
+every row) — variants that read "13-16.5 TF/s" truly span ~2x wider."""
 import functools, os, sys, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 sys.path.insert(0, "/root/repo")
@@ -16,17 +21,28 @@ q = jnp.asarray(rng.normal(0, 1, (BH, NP, D)), jnp.bfloat16)
 k = jnp.asarray(rng.normal(0, 1, (BH, NP, D)), jnp.bfloat16)
 v = jnp.asarray(rng.normal(0, 1, (BH, NP, D)), jnp.bfloat16)
 
-def bench(f, name, *args):
-    @jax.jit
-    def many(q, k, v):
-        def body(c, _):
-            return f(c, k, v), ()
-        out, _ = jax.lax.scan(body, q, None, length=10)
-        return out
-    out = many(*args); float(jnp.sum(out))
-    t0 = time.perf_counter()
-    out = many(*args); float(jnp.sum(out))
-    dt = (time.perf_counter() - t0) / 10
+def bench(f, name, *args, reps=(10, 60), trials=3):
+    """Slope timing: the output feeds the next step's q (no hoisting),
+    and the rep-count slope cancels every per-dispatch constant."""
+    def make(length):
+        @jax.jit
+        def many(q, k, v):
+            def body(c, _):
+                return f(c, k, v), ()
+            out, _ = jax.lax.scan(body, q, None, length=length)
+            return out
+        return many
+    mins = []
+    for r in reps:
+        many = make(r)
+        float(jnp.sum(many(*args)))         # compile + warm, D2H fence
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(jnp.sum(many(*args)))
+            best = min(best, time.perf_counter() - t0)
+        mins.append(best)
+    dt = (mins[1] - mins[0]) / (reps[1] - reps[0])
     flops = 2 * BH * (NP * NP * D * 2)
     print(f"{name}: {dt*1000:.3f} ms  {flops/dt/1e12:.1f} TF/s", flush=True)
 

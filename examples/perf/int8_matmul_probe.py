@@ -10,8 +10,12 @@ dino_vitb8 token-matmul shapes (T=25120 tokens, C=768) in three flavors:
   3. dynamic W8A8: per-row act quant + s8 matmul + rescale (the real
      serving path including quantize/dequantize overhead)
 
-Methodology per CLAUDE.md: K=20 matmuls scanned into one dispatch, D2H
-fence, min of 3 rounds.  Writes examples/perf/int8_matmul_probe.json.
+Methodology: slope timing (see slope_timing.py) — per-matmul ms is the
+slope of scan wall time over two step counts (20 and 120), which cancels
+the ~22 ms per-dispatch tunnel floor exactly (the original STEPS=20
+average baked 1.1 ms/rep of floor into every row, understating the fat
+shapes ~2x and compressing the int8-vs-bf16 ratios).  min of 3 rounds per
+step count.  Writes examples/perf/int8_matmul_probe.json.
 """
 
 from __future__ import annotations
@@ -30,19 +34,24 @@ SHAPES = [
     (25120, 3072, 768),   # fc2
     (25120, 768, 768),    # proj
 ]
-STEPS = 20
+STEPS = (20, 120)
 
 
-def _time(fn, *args) -> float:
-    out = fn(*args)
-    jax.tree.map(lambda a: np.asarray(a[-1]).ravel()[0], out)  # compile+fence
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+def _time(make, *args) -> float:
+    """Slope of min-of-3 wall time over the two step counts."""
+    mins = []
+    for steps in STEPS:
+        fn = make(steps)
         out = fn(*args)
-        jax.tree.map(lambda a: np.asarray(a[-1]).ravel()[0], out)
-        ts.append(time.perf_counter() - t0)
-    return min(ts) / STEPS
+        jax.tree.map(lambda a: np.asarray(a[-1]).ravel()[0], out)  # warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.tree.map(lambda a: np.asarray(a[-1]).ravel()[0], out)
+            ts.append(time.perf_counter() - t0)
+        mins.append(min(ts))
+    return (mins[1] - mins[0]) / (STEPS[1] - STEPS[0])
 
 
 def bench_shape(M: int, K: int, N: int) -> dict:
@@ -58,46 +67,52 @@ def bench_shape(M: int, K: int, N: int) -> dict:
     # the previous one's result — XLA can neither hoist the dot out of the
     # scan nor DCE it — and the carry shape is K-independent of N (a
     # y[:, :K] feed-back breaks when K != N, e.g. the fc2 shape).
-    @jax.jit
-    def run_bf16(x, w):
-        def one(c, _):
-            y = jnp.dot(c, w, preferred_element_type=jnp.float32)
-            return c + (y[:, :1] * 1e-6).astype(c.dtype), y[:1, :1]
-        _, ys = jax.lax.scan(one, x, None, length=STEPS)
-        return ys
+    def make_bf16(steps):
+        @jax.jit
+        def run_bf16(x, w):
+            def one(c, _):
+                y = jnp.dot(c, w, preferred_element_type=jnp.float32)
+                return c + (y[:, :1] * 1e-6).astype(c.dtype), y[:1, :1]
+            _, ys = jax.lax.scan(one, x, None, length=steps)
+            return ys
+        return run_bf16
 
-    @jax.jit
-    def run_s8(xq, wq):
-        def one(c, _):
-            y = jax.lax.dot_general(
-                c, wq, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            return jnp.bitwise_xor(c, (y[:, :1] & 3).astype(jnp.int8)), \
-                y[:1, :1]
-        _, ys = jax.lax.scan(one, xq, None, length=STEPS)
-        return ys
+    def make_s8(steps):
+        @jax.jit
+        def run_s8(xq, wq):
+            def one(c, _):
+                y = jax.lax.dot_general(
+                    c, wq, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                return jnp.bitwise_xor(c, (y[:, :1] & 3).astype(jnp.int8)), \
+                    y[:1, :1]
+            _, ys = jax.lax.scan(one, xq, None, length=steps)
+            return ys
+        return run_s8
 
-    @jax.jit
-    def run_w8a8(x, wq, w_scale):
-        def one(c, _):
-            ax = jnp.max(jnp.abs(c), axis=-1, keepdims=True)
-            scale = (ax / 127.0).astype(jnp.float32) + 1e-8
-            cq = jnp.clip(jnp.round(c.astype(jnp.float32) / scale),
-                          -127, 127).astype(jnp.int8)
-            y = jax.lax.dot_general(
-                cq, wq, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            y = y.astype(jnp.float32) * scale * w_scale
-            return c + (y[:, :1] * 1e-6).astype(c.dtype), y[:1, :1]
-        _, ys = jax.lax.scan(one, x, None, length=STEPS)
-        return ys
+    def make_w8a8(steps):
+        @jax.jit
+        def run_w8a8(x, wq, w_scale):
+            def one(c, _):
+                ax = jnp.max(jnp.abs(c), axis=-1, keepdims=True)
+                scale = (ax / 127.0).astype(jnp.float32) + 1e-8
+                cq = jnp.clip(jnp.round(c.astype(jnp.float32) / scale),
+                              -127, 127).astype(jnp.int8)
+                y = jax.lax.dot_general(
+                    cq, wq, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                y = y.astype(jnp.float32) * scale * w_scale
+                return c + (y[:, :1] * 1e-6).astype(c.dtype), y[:1, :1]
+            _, ys = jax.lax.scan(one, x, None, length=steps)
+            return ys
+        return run_w8a8
 
     flops = 2.0 * M * K * N
     r = {}
-    for name, fn, args in [("bf16", run_bf16, (x, w)),
-                           ("s8", run_s8, (xq, wq)),
-                           ("w8a8_dynamic", run_w8a8, (x, wq, w_scale))]:
-        dt = _time(fn, *args)
+    for name, make, args in [("bf16", make_bf16, (x, w)),
+                             ("s8", make_s8, (xq, wq)),
+                             ("w8a8_dynamic", make_w8a8, (x, wq, w_scale))]:
+        dt = _time(make, *args)
         r[name] = {"ms": round(dt * 1e3, 4),
                    "tflops": round(flops / dt / 1e12, 1)}
     return {"shape": [M, K, N], **r}

@@ -10,59 +10,52 @@ or lowers to many tiny matmuls.  The 1x1 convs (the FLOPs majority) are
 plain token matmuls and should run near the ViT rates.
 
 For every distinct conv shape in the network this script times the pure
-XLA bf16 `lax.conv_general_dilated` (scan-amortized, D2H-fenced), then
-combines per-shape rates FLOPs-weighted into the network's matmul-bound
-MFU ceiling — the number our e2e 11.7% should be judged against.
+XLA bf16 `lax.conv_general_dilated` (slope-timed: per-op seconds are the
+slope of scan wall time over two rep counts, cancelling the ~22 ms
+per-dispatch tunnel floor — see slope_timing.py; the first version of
+this probe averaged over REPS=30 and read mostly floor), then combines
+per-shape rates FLOPs-weighted into the network's matmul-bound MFU
+ceiling — the number our e2e 11.7% should be judged against.
 
 Run on the real chip: python examples/perf/resnext_shape_bound.py
 """
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from slope_timing import op_tflops  # noqa: E402
+
 PEAK_TFLOPS = 197.0          # v5e bf16
 HBM_GBPS = 819.0
-REPS = 30
 B = 32
 
 
 def timed_conv_tflops(hw_in, cin, cout, k, stride, groups, flops):
-    """TF/s of the conv via a REPS-long scan whose carry is the conv INPUT
-    perturbed by each step's output (broadcast (B,1,1,1) add): every step
-    consumes the previous step's result, so XLA can neither hoist the
-    loop-invariant conv out of the scan nor DCE it (a plain
-    `acc + o[0]` body compiles to ZERO convolutions — verified)."""
+    """TF/s of the conv, slope-timed with the conv INPUT as the scan
+    carry (one-element perturbation per step, so XLA can neither hoist
+    the loop-invariant conv out of the scan nor DCE it — a plain
+    `acc + o[0]` body compiles to ZERO convolutions, verified)."""
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(0, 1, (B, hw_in, hw_in, cin)), jnp.bfloat16)
     w = jnp.asarray(rng.normal(0, 0.05, (k, k, cin // groups, cout)),
                     jnp.bfloat16)
 
-    @jax.jit
-    def run(x, w):
-        def step(c, _):
-            o = jax.lax.conv_general_dilated(
-                c, w, (stride, stride), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=groups,
-                preferred_element_type=jnp.float32)
-            c = c + (o[:, :1, :1, :1] * 1e-6).astype(c.dtype)
-            return c, o.reshape(-1)[0]
-        _, ys = jax.lax.scan(step, x, None, length=REPS)
-        return ys
+    def conv(wi, xi):
+        return jax.lax.conv_general_dilated(
+            xi, wi, (stride, stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
-    float(run(x, w)[-1])                   # compile + warm, D2H fence
-    t0 = time.perf_counter()
-    float(run(x, w)[-1])
-    dt = (time.perf_counter() - t0) / REPS
-    return flops / dt / 1e12
+    return op_tflops(conv, w, x, flops)
 
 
 def conv_cost(hw_in, cin, cout, k, stride, groups):

@@ -8,7 +8,18 @@ FLOPs-weighted combination of those per-op throughputs is the best MFU
 any schedule of the same matmuls could deliver — kernel fusion can
 recover inter-op overhead but cannot beat the per-shape MXU rates.
 
-Context: the zoo sweep measures swin_tiny e2e at 11.5% MFU
+Harness note (fixed twice): (1) the scan body must carry a data
+dependence from each step's output into the next step's INPUT, or XLA
+hoists the loop-invariant op out of the scan entirely — the original
+probe had that bug, every op "measured" ~0.5 ms/rep and the weighted
+bound came out at 3.3% MFU, *below* the measured 12.4% e2e, which is
+impossible for a ceiling.  (2) even with the carry fixed, a REPS=50
+average still reads ``(22 ms dispatch floor + 50*t_op)/50`` — for ops
+under ~0.5 ms the floor dominates and all shapes converge to ~0.45
+ms/rep.  `slope_timing.py` removes the floor exactly by taking the
+slope of wall time over two rep counts.
+
+Context: the zoo sweep measures swin_tiny e2e at 12.4% MFU
 (examples/zoo_bench_tpu.json); PERF.md's ViT analysis showed per-shape
 empirical matmul bounds sit far under the 197 TF/s paper peak for
 small-D attention.  This script quantifies the same effect for the
@@ -19,39 +30,26 @@ Run on the real chip: python examples/perf/swin_tiny_shape_bound.py
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from slope_timing import op_tflops as timed_tflops  # noqa: E402
+
 PEAK_TFLOPS = 197.0          # v5e bf16
 HBM_GBPS = 819.0             # v5e HBM bandwidth
-REPS = 50
 B = 32                        # zoo sweep batch
 
 
-def timed_tflops(fn, flops, *args):
-    """TF/s of fn via a REPS-long lax.scan with a scalar D2H fence."""
-    @jax.jit
-    def run(*a):
-        def step(acc, _):
-            o = fn(*a)
-            return acc + o.reshape(-1)[0].astype(jnp.float32), None
-        acc, _ = jax.lax.scan(step, jnp.float32(0), None, length=REPS)
-        return acc
-    float(run(*args))                       # compile + warm
-    t0 = time.perf_counter()
-    float(run(*args))
-    dt = (time.perf_counter() - t0) / REPS
-    return flops / dt / 1e12
-
-
 def stage_ops(HW, C, H, w=7):
-    """(name, flops, thunk) for one block's matmuls at stage shape."""
+    """(name, flops, hbm_bytes, a, b, fn) for one block's matmuls at the
+    stage shape — ``b`` is the operand carried (and perturbed) by the
+    timing scan."""
     N = w * w
     nW = (HW // w) ** 2
     Bn = B * nW
@@ -77,23 +75,23 @@ def stage_ops(HW, C, H, w=7):
     bmm = lambda tr: (lambda a, b: jax.lax.dot_general(
         a, b, (((2,), (2 if tr else 1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(jnp.bfloat16))
-    # (name, flops, hbm_bytes, thunk): bytes = bf16 inputs + bf16 output
+    # (name, flops, hbm_bytes, a, b, fn): bytes = bf16 inputs + bf16 output
     # (weights are negligible at these T) — gives the per-op HBM roofline
     return [
         ("qkv",  2 * T * C * 3 * C, 2 * (T * C + T * 3 * C),
-         lambda: mm(x, wqkv)),
+         x, wqkv, mm),
         ("attn_qk", 2 * Bn * H * N * N * D,
          2 * (2 * Bn * H * N * D + Bn * H * N * N),
-         lambda: bmm(True)(q, k)),
+         q, k, bmm(True)),
         ("attn_pv", 2 * Bn * H * N * N * D,
          2 * (Bn * H * N * N + 2 * Bn * H * N * D),
-         lambda: bmm(False)(p, v)),
+         p, v, bmm(False)),
         ("proj", 2 * T * C * C, 2 * (2 * T * C),
-         lambda: mm(x, wproj)),
+         x, wproj, mm),
         ("fc1",  2 * T * C * 4 * C, 2 * (T * C + T * 4 * C),
-         lambda: mm(x, w1)),
+         x, w1, mm),
         ("fc2",  2 * T * 4 * C * C, 2 * (T * 4 * C + T * C),
-         lambda: mm(hmid, w2)),
+         hmid, w2, mm),
     ]
 
 
@@ -106,8 +104,8 @@ def main():
     report = {}
     for name, HW, C, H, depth in stages:
         rows = []
-        for opname, flops, hbm_bytes, thunk in stage_ops(HW, C, H):
-            tfs = timed_tflops(lambda *a, f=thunk: f(), flops)
+        for opname, flops, hbm_bytes, a, b, fn in stage_ops(HW, C, H):
+            tfs = timed_tflops(fn, a, b, flops)
             # HBM roofline for this op's minimum traffic at bf16
             hbm_bound = flops / (hbm_bytes / (HBM_GBPS * 1e9)) / 1e12
             rows.append((opname, flops, tfs, hbm_bound))
