@@ -23,8 +23,15 @@ linear-eval (frozen backbone, tiny head) and 3× forward for finetune
 
 Methodology notes:
 - K steps are fused into ONE dispatch via ``lax.scan`` over a stacked batch —
-  both the production pattern (dataset lives in HBM; one dispatch per chunk)
-  and a necessity on tunneled devices where per-dispatch latency is ~30 ms.
+  both the production pattern (dataset lives in HBM; one dispatch per chunk,
+  epoch-scan mode dispatches a whole epoch) and a necessity on tunneled
+  devices where per-dispatch latency is ~22-30 ms.
+- Per-step time is the SLOPE of chunk wall time over two scan lengths
+  (min-of-rounds each): every per-dispatch constant (tunnel RTT, fence)
+  cancels exactly.  A single-length average bakes floor/K into each step
+  — at K=20 that overstated fast configs' step time by up to ~18% (the
+  production epoch-scan path amortizes the dispatch over a whole epoch,
+  so the slope is the honest steady-state number).
 - Timing is fenced by a device_get of the final step's loss (a real D2H
   read); on this platform ``block_until_ready`` returns at enqueue-ack, not
   completion, and would overstate throughput ~100×.
@@ -67,7 +74,7 @@ CONFIGS = [
      "baseline_img_s": 1.0 / 0.0120},
 ]
 
-STEPS_PER_DISPATCH = 20
+CHUNK_LENGTHS = (20, 60)     # slope timing: per-step = Δwall / Δlength
 MEASURE_ROUNDS = 3
 
 
@@ -140,33 +147,44 @@ def bench_config(cfg: dict) -> dict:
                               opt_state=opt_state)
         return state, _metrics(logits, batch["label"], batch["mask"], loss)
 
-    @jax.jit
-    def run_chunk(state, batches):
-        return jax.lax.scan(one_step, state, batches)
+    def make_chunk(length):
+        @jax.jit
+        def run_chunk(state, batches):
+            chunk = jax.tree.map(lambda a: a[:length], batches)
+            return jax.lax.scan(one_step, state, chunk)
+        return run_chunk
 
+    k_max = max(CHUNK_LENGTHS)
     rng = np.random.default_rng(0)
     batches = {
-        "image": rng.integers(0, 255, (STEPS_PER_DISPATCH, bs, image_size,
+        "image": rng.integers(0, 255, (k_max, bs, image_size,
                                        image_size, 3), dtype=np.uint8),
-        "label": rng.integers(0, 10, (STEPS_PER_DISPATCH, bs)).astype(np.int32),
-        "mask": np.ones((STEPS_PER_DISPATCH, bs), np.float32),
+        "label": rng.integers(0, 10, (k_max, bs)).astype(np.int32),
+        "mask": np.ones((k_max, bs), np.float32),
     }
     batches = jax.device_put(batches)
 
-    # warmup: compile + one full chunk, fenced by a real D2H read
-    state, m = run_chunk(state, batches)
-    float(m["loss_sum"][-1])
-
-    times = []
-    for _ in range(MEASURE_ROUNDS):
-        t0 = time.perf_counter()
+    # slope timing: min-of-rounds wall time at each scan length; the
+    # length-slope is the steady-state per-step time, with every
+    # per-dispatch constant (tunnel RTT, D2H fence) cancelled exactly
+    mins = []
+    for length in CHUNK_LENGTHS:
+        run_chunk = make_chunk(length)
+        # warmup: compile + one full chunk, fenced by a real D2H read
         state, m = run_chunk(state, batches)
-        float(m["loss_sum"][-1])           # D2H fence
-        times.append(time.perf_counter() - t0)
+        float(m["loss_sum"][-1])
+        best = float("inf")
+        for _ in range(MEASURE_ROUNDS):
+            t0 = time.perf_counter()
+            state, m = run_chunk(state, batches)
+            float(m["loss_sum"][-1])       # D2H fence
+            best = min(best, time.perf_counter() - t0)
+        mins.append(best)
 
-    dt = min(times)
+    dt_step = ((mins[1] - mins[0])
+               / (CHUNK_LENGTHS[1] - CHUNK_LENGTHS[0]))
     n_chips = max(len(jax.devices()), 1)
-    img_per_sec = STEPS_PER_DISPATCH * bs / dt / n_chips
+    img_per_sec = bs / dt_step / n_chips
 
     fwd = model_flops_per_image(arch, image_size)
     step_flops = fwd * (1 if cfg["lineareval"] else 3)

@@ -45,6 +45,42 @@ def test_flash_backward_matches_xla():
                                    err_msg=f"d{name} mismatch")
 
 
+@pytest.mark.parametrize("forced", [None, "2"])
+def test_flash_head_blocked_matches_xla(monkeypatch, forced):
+    """Head-blocked single-q-block path (2 heads batched per program —
+    PERF.md slope-timed lever) matches XLA in forward and grads; with the
+    env knob unset the gate picks hb=2 itself for even head counts."""
+    if forced is not None:
+        monkeypatch.setenv("VITX_FLASH_HEAD_BLOCK", forced)
+    from vit_torch_tpu.ops.flash_attention import _head_block
+    assert _head_block(4, 145, 32, bwd=False) == 2
+    assert _head_block(3, 145, 32, bwd=False) == 1      # odd H falls back
+    assert _head_block(4, 5000, 64, bwd=True) in (1, 2)  # gate is bounded
+    q, k, v = _qkv(B=2, N=145, H=4, D=32)
+    scale = q.shape[-1] ** -0.5
+    out = flash_attention(q, k, v)
+    ref = _xla_attention(q, k, v, scale=scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+    g_ours = jax.grad(lambda q, k, v: jnp.sum(flash_attention(q, k, v) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(lambda q, k, v: jnp.sum(
+        _xla_attention(q, k, v, scale=scale) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-3,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_flash_head_block_vmem_gate():
+    """The VMEM estimate refuses hb=2 at sequence lengths whose fp32 score
+    tiles exceed the calibrated budget."""
+    from vit_torch_tpu.ops.flash_attention import _head_block
+    assert _head_block(12, 800, 64, bwd=False) == 2    # headline shape
+    assert _head_block(12, 800, 64, bwd=True) == 2
+    assert _head_block(12, 2400, 64, bwd=True) == 1    # 3·2·2400²·4 ≫ 24MB
+
+
 def test_flash_bf16_runs():
     q, k, v = _qkv(N=128, dtype=jnp.bfloat16)
     out = flash_attention(q, k, v)

@@ -31,6 +31,7 @@ axis is the scale-out path (``parallel/``).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -40,6 +41,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANE = 128
+SUBLANE = 16
+
+# Scoped-VMEM budgets (bytes) for the head-blocked single-block kernels.
+# Calibration points (v5e, slope-timed probe `examples/perf/attn_xla_bound.py`):
+# a 4-(b·h) forward at N=800 (~22 MB of fp32 score tiles) compiles and runs,
+# so 24 MB is conservative; Mosaic remote_compile HTTP 500 = overflow.
+_HB_FWD_VMEM = 24 * 1024 * 1024
+_HB_BWD_VMEM = 24 * 1024 * 1024
 
 
 def _interpret() -> bool:
@@ -49,6 +58,30 @@ def _interpret() -> bool:
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _head_block(num_heads: int, n_pad: int, d: int, *, bwd: bool) -> int:
+    """Heads batched per program on the single-q-block path.
+
+    Packing 2 heads per program batches the small-K (64-deep) attention
+    matmuls across heads on the MXU: +16% measured at the headline shape
+    (B=32, H=12, N=800, D=64 — 60.8 vs 52.3 TF/s slope-timed, see
+    `examples/perf/attn_xla_bound.json` and PERF.md).  Gated by a scoped-VMEM
+    estimate of the fp32 score tiles; override with VITX_FLASH_HEAD_BLOCK
+    (1 disables, 2/4 force a width).
+    """
+    forced = os.environ.get("VITX_FLASH_HEAD_BLOCK")
+    if forced is not None:
+        hb = int(forced)
+        return hb if hb > 1 and num_heads % hb == 0 else 1
+    score_bufs = 3 if bwd else 2            # {p, dp, ds} vs {s, p}
+    budget = _HB_BWD_VMEM if bwd else _HB_FWD_VMEM
+    for hb in (2,):
+        bytes_est = hb * (score_bufs * n_pad * n_pad * 4
+                          + (8 if bwd else 4) * n_pad * d * 2)
+        if num_heads % hb == 0 and bytes_est <= budget:
+            return hb
+    return 1
 
 
 # --------------------------------------------------------------------------
@@ -73,6 +106,23 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
     o = jax.lax.dot(p.astype(v.dtype), v,
                     preferred_element_type=jnp.float32)
     o_ref[0, 0] = (o / l).astype(o_ref.dtype)
+
+
+def _fwd_kernel_hb(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
+    """Head-blocked single-pass forward: (HB, N, D) per program, attention
+    matmuls batched over the HB heads so the MXU pipelines across heads."""
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]            # (HB, N, D)
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
+    if kv_len < k.shape[1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < kv_len, s, MASK_VALUE)
+    m = jnp.max(s, axis=2, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=2, keepdims=True)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -123,6 +173,34 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
+def _bwd_fused_kernel_hb(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                         *, scale: float, kv_len: int):
+    """Head-blocked one-pass backward: same identities as
+    :func:`_bwd_fused_kernel`, batched over the HB leading heads."""
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]   # (HB, N, D)
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
+    if kv_len < k.shape[1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < kv_len, s, MASK_VALUE)
+    m = jnp.max(s, axis=2, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=2, keepdims=True)               # (HB, Nq, Nk)
+    dv_ref[0] = jax.lax.dot_general(
+        p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    di = jnp.sum(p * dp, axis=2, keepdims=True)
+    ds = (p * (dp - di) * scale).astype(q.dtype)
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, dk_ref, dv_ref,
                     dk_acc, dv_acc, *, scale: float, kv_len: int):
     q_idx, n_q = pl.program_id(2), pl.num_programs(2)
@@ -165,6 +243,21 @@ def _pad_seq(x, n_pad):
 
 def _fwd_impl(q, k, v, scale, block_q):
     B, H, N, D = q.shape
+    if block_q >= N:
+        hb = _head_block(H, N, D, bwd=False)
+        if hb > 1:
+            # head-blocked single-pass: grid (B, H/hb), unpadded sequence
+            spec = pl.BlockSpec((1, hb, N, D), lambda b, h: (b, h, 0, 0))
+            return pl.pallas_call(
+                functools.partial(_fwd_kernel_hb, scale=scale, kv_len=N),
+                out_shape=jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+                grid=(B, H // hb),
+                in_specs=[spec, spec, spec],
+                out_specs=spec,
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel")),
+                interpret=_interpret(),
+            )(q, k, v)
     n_pad = _round_up(N, block_q)
     qp, kp, vp = _pad_seq(q, n_pad), _pad_seq(k, n_pad), _pad_seq(v, n_pad)
     grid = (B, H, n_pad // block_q)
@@ -193,6 +286,22 @@ def _bwd_impl(q, k, v, do, scale, block_q):
     dop = _pad_seq(do, n_pad)
 
     if block_q == n_pad:
+        hb = _head_block(H, n_pad, D, bwd=True)
+        if hb > 1:
+            spec = pl.BlockSpec((1, hb, n_pad, D), lambda b, h: (b, h, 0, 0))
+            dq, dk, dv = pl.pallas_call(
+                functools.partial(_bwd_fused_kernel_hb, scale=scale,
+                                  kv_len=N),
+                out_shape=tuple(jax.ShapeDtypeStruct((B, H, n_pad, D), x.dtype)
+                                for x in (q, k, v)),
+                grid=(B, H // hb),
+                in_specs=[spec, spec, spec, spec],
+                out_specs=(spec, spec, spec),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel")),
+                interpret=_interpret(),
+            )(qp, kp, vp, dop)
+            return dq[:, :, :N], dk[:, :, :N], dv[:, :, :N]
         # single q-block: fused one-pass backward
         spec = pl.BlockSpec((1, 1, n_pad, D), lambda b, h: (b, h, 0, 0))
         dq, dk, dv = pl.pallas_call(
