@@ -5,7 +5,7 @@ Slope-timed (see slope_timing.py): per-op ms is the slope of scan wall time
 over two rep counts, cancelling the ~22 ms per-dispatch tunnel floor.  The
 original version averaged over length=10 (2.2 ms/rep of floor baked into
 every row) — variants that read "13-16.5 TF/s" truly span ~2x wider."""
-import functools, os, sys, time
+import functools, json, os, sys, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp, numpy as np
@@ -15,6 +15,8 @@ from jax.experimental.pallas import tpu as pltpu
 B, H, N, D = 32, 12, 785, 64
 NP = 800
 BH = B * H
+
+RESULTS = []
 
 rng = np.random.default_rng(0)
 q = jnp.asarray(rng.normal(0, 1, (BH, NP, D)), jnp.bfloat16)
@@ -45,6 +47,8 @@ def bench(f, name, *args, reps=(10, 60), trials=3):
     dt = (mins[1] - mins[0]) / (reps[1] - reps[0])
     flops = 2 * BH * (NP * NP * D * 2)
     print(f"{name}: {dt*1000:.3f} ms  {flops/dt/1e12:.1f} TF/s", flush=True)
+    RESULTS.append({"variant": name.strip(), "ms": round(dt * 1000, 4),
+                    "tflops_s": round(flops / dt / 1e12, 2)})
 
 def xla_attn(q, k, v):
     s = jnp.einsum("bnd,bmd->bnm", q, k,
@@ -108,3 +112,25 @@ for BB in (2, 4):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)))
     bench(f, f"pallas bh-block={BB} ", q, k, v)
+
+# production flash_attention_bhnd (the model's head-major entry, unpadded
+# N=785) at hb=1 vs hb=2 — VITX_FLASH_HEAD_BLOCK is read at trace time,
+# and bench() re-jits per rep count
+from vit_torch_tpu.ops.flash_attention import flash_attention_bhnd  # noqa: E402
+
+q4 = q[:, :N].reshape(B, H, N, D)
+k4 = k[:, :N].reshape(B, H, N, D)
+v4 = v[:, :N].reshape(B, H, N, D)
+for hb in ("1", "2"):
+    os.environ["VITX_FLASH_HEAD_BLOCK"] = hb
+    def prod(qq, kk, vv):
+        return flash_attention_bhnd(qq, kk, vv)
+    bench(prod, f"production flash hb={hb}", q4, k4, v4)
+del os.environ["VITX_FLASH_HEAD_BLOCK"]
+
+with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "attn_xla_bound.json"), "w") as fp:
+    json.dump({"shape": {"B": B, "H": H, "N": N, "N_pad": NP, "D": D},
+               "method": "slope over rep counts (10, 60), min of 3 trials",
+               "results": RESULTS}, fp, indent=1)
+print("saved attn_xla_bound.json", flush=True)

@@ -64,8 +64,8 @@ def _head_block(num_heads: int, n_pad: int, d: int, *, bwd: bool) -> int:
     """Heads batched per program on the single-q-block path.
 
     Packing 2 heads per program batches the small-K (64-deep) attention
-    matmuls across heads on the MXU: +16% measured at the headline shape
-    (B=32, H=12, N=800, D=64 — 60.8 vs 52.3 TF/s slope-timed, see
+    matmuls across heads on the MXU: +14% measured at the headline shape
+    (B=32, H=12, N=785, D=64 — 61.1 vs 53.5 TF/s slope-timed, see
     `examples/perf/attn_xla_bound.json` and PERF.md).  Gated by a scoped-VMEM
     estimate of the fp32 score tiles; override with VITX_FLASH_HEAD_BLOCK
     (1 disables, 2/4 force a width).
