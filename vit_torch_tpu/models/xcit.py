@@ -181,6 +181,39 @@ class LPI(nn.Module):
         return y.reshape(B, N, C)
 
 
+def _l2_normalize(x: jnp.ndarray) -> jnp.ndarray:
+    """Unit-normalize over the trailing axis in fp32 (reference
+    ``F.normalize(dim=-1)`` semantics, eps-clamped)."""
+    return x / jnp.maximum(jnp.linalg.norm(x.astype(jnp.float32), axis=-1,
+                                           keepdims=True), 1e-12)
+
+
+def xca_core(qkv: jnp.ndarray, temperature: jnp.ndarray, num_heads: int,
+             dtype: Dtype) -> jnp.ndarray:
+    """The XCA math between the qkv and proj matmuls: channel-major
+    transpose, fp32 L2 norms, the d×d covariance softmax, and the apply.
+
+    ``qkv`` is (B, N, 3C); returns (B, N, C).  Module-level so perf probes
+    can ablate it and a fused-kernel dispatch can replace it wholesale —
+    its FLOPs are ~2% of a block, but it carries every layout transpose
+    and normalization sweep of the XCA path."""
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    H, d = num_heads, C // num_heads
+    qkv = qkv.reshape(B, N, 3, H, d)
+    # transpose to channel-major: (B, H, d, N)
+    q = qkv[:, :, 0].transpose(0, 2, 3, 1)
+    k = qkv[:, :, 1].transpose(0, 2, 3, 1)
+    v = qkv[:, :, 2].transpose(0, 2, 3, 1)
+    q = _l2_normalize(q)
+    k = _l2_normalize(k)
+    attn = jnp.einsum("bhdn,bhen->bhde", q, k,
+                      preferred_element_type=jnp.float32) * temperature
+    attn = jax.nn.softmax(attn, axis=-1).astype(dtype)
+    out = jnp.einsum("bhde,bhen->bhdn", attn, v.astype(dtype))
+    return out.transpose(0, 3, 1, 2).reshape(B, N, C)
+
+
 class XCA(nn.Module):
     """Cross-covariance attention: d×d channel attention with L2-normalized
     q/k and learnable per-head temperature (reference ``XCA:221-261``)."""
@@ -192,28 +225,13 @@ class XCA(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         B, N, C = x.shape
-        H = self.num_heads
-        d = C // H
         temperature = self.param("temperature", nn.initializers.ones,
-                                 (H, 1, 1), jnp.float32)
+                                 (self.num_heads, 1, 1), jnp.float32)
         quant = _use_w8a8(deterministic)   # int8 serving path
         qkv = QDense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                      kernel_init=trunc_normal_init, quant=quant,
                      name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, H, d)
-        # transpose to channel-major: (B, H, d, N)
-        q = qkv[:, :, 0].transpose(0, 2, 3, 1)
-        k = qkv[:, :, 1].transpose(0, 2, 3, 1)
-        v = qkv[:, :, 2].transpose(0, 2, 3, 1)
-        q = q / jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=-1,
-                                            keepdims=True), 1e-12)
-        k = k / jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=-1,
-                                            keepdims=True), 1e-12)
-        attn = jnp.einsum("bhdn,bhen->bhde", q, k,
-                          preferred_element_type=jnp.float32) * temperature
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhde,bhen->bhdn", attn, v.astype(self.dtype))
-        out = out.transpose(0, 3, 1, 2).reshape(B, N, C)
+        out = xca_core(qkv, temperature, self.num_heads, self.dtype)
         return QDense(C, dtype=self.dtype, kernel_init=trunc_normal_init,
                       quant=quant, name="proj")(out)
 
