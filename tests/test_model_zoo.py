@@ -207,3 +207,29 @@ def test_bench_flops_dispatch_covers_zoo():
                        ("swin_tiny_patch4_window7_224", 224),
                        ("resnext50_32x4d", 224), ("dino_vitb8", 384)]:
         assert bench.model_flops_per_image(arch, size) > 1e9, arch
+
+
+# --- eval-mode conv+BN folding ---------------------------------------------
+
+@pytest.mark.parametrize("arch", ["xcit_test", "resnet_test"])
+def test_folded_bn_matches_module_path(arch, monkeypatch):
+    """VITX_FOLD_BN (default on) folds eval-mode BatchNorm into the conv
+    kernels (models/layers.py:fold_conv_bn_eval).  Must be numerically
+    equivalent to the unfused nn.Conv -> nn.BatchNorm module path — exact
+    modulo fp association — including under non-trivial running stats."""
+    zm, variables, _ = _forward(arch)
+    rng = np.random.default_rng(0)
+
+    def jitter(t):  # keep var positive: additive uniform in [0.1, 0.5]
+        return t + jnp.asarray(
+            rng.uniform(0.1, 0.5, t.shape).astype(np.float32))
+
+    variables = dict(variables)
+    variables["batch_stats"] = jax.tree.map(jitter, variables["batch_stats"])
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    monkeypatch.setenv("VITX_FOLD_BN", "1")
+    y_fold = zm.apply(variables, x)
+    monkeypatch.setenv("VITX_FOLD_BN", "0")
+    y_mod = zm.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_mod),
+                               atol=1e-4, rtol=1e-4)

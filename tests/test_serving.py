@@ -389,8 +389,12 @@ def test_export_detector_keypoints(tmp_path):
         anchor_sizes=(8.0, 16.0), num_proposals=16,
         rpn_pre_nms_topk=32, rpn_batch=16, roi_batch=8, detections=8,
         num_keypoints=5, kp_conv_channels=(8,), kp_rois=8)
+    # fp32 like the DETR export tests: bf16 convs round differently between
+    # a constant-baked bundle and the live jit (XLA prepacks constant
+    # weights), and an untrained model's NMS/soft-argmax ties amplify the
+    # 1-ulp drift into pixel-scale keypoint differences
     backbone = ResNet(RESNET_CONFIGS["resnet_test"], features_only=True,
-                      name="backbone")
+                      dtype=jnp.float32, name="backbone")
     model = FasterRCNN(cfg, backbone)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, size, size, 3)),

@@ -153,6 +153,53 @@ def _prequant_kernel(mod: nn.Module, name: str, kernel):
     return None
 
 
+def use_folded_bn(mdl: nn.Module, deterministic: bool) -> bool:
+    """Dispatch eval-mode conv+BN folding (``fold_conv_bn_eval``).
+
+    Inference only (running-stats BN is an affine map; train-mode BN
+    depends on the batch) and only once variables exist (init must run the
+    module path so the standard ``conv*/kernel`` + ``bn*/{scale,bias}`` +
+    ``batch_stats`` tree is created — importers and checkpoints see no
+    difference).  ``VITX_FOLD_BN=0`` disables.  Measured on-chip: the BN
+    epilogue is a full extra pass over the activation map that XLA does
+    not fuse into the conv — folding it into the kernel saved 18% of the
+    XCiT conv-stem wall time (PERF.md stem ledger)."""
+    import os
+    return (deterministic and not mdl.is_initializing()
+            and os.environ.get("VITX_FOLD_BN", "1") != "0")
+
+
+def fold_conv_bn_eval(mdl: nn.Module, x: jax.Array, conv_name: str,
+                      bn_name: str, *, strides=(1, 1), padding=((0, 0), (0, 0)),
+                      groups: int = 1, dtype: Dtype = jnp.bfloat16,
+                      eps: float = 1e-5) -> jax.Array:
+    """Eval-mode ``BN(conv(x))`` as ONE conv: the BN affine is folded into
+    the kernel (``w' = w * scale/sqrt(var+eps)``, bias
+    ``b' = bias - mean * scale/sqrt(var+eps)``) — exact modulo fp
+    association.  Reads the sibling ``nn.Conv``/``nn.BatchNorm`` variables
+    created by the module path, so the param tree is byte-identical either
+    way.  The fold runs in fp32 and casts once, and the per-channel
+    vectors are loop constants under jit/scan, so XLA hoists them."""
+    kern = mdl.get_variable("params", conv_name)["kernel"]
+    bnp = mdl.get_variable("params", bn_name)
+    stats = mdl.get_variable("batch_stats", bn_name)
+    # sqrt+div (IEEE correctly-rounded), NOT rsqrt: under jax.export the
+    # weights are baked constants, so XLA's evaluator constant-folds this
+    # fold at compile time — rsqrt is approximate and rounds differently
+    # between the evaluator and runtime codegen, which made exported
+    # bundles drift from the live model (amplified through NMS/argmax
+    # ties in detection heads)
+    a = (bnp["scale"].astype(jnp.float32)
+         / jnp.sqrt(stats["var"].astype(jnp.float32) + eps))
+    b = bnp["bias"].astype(jnp.float32) - stats["mean"].astype(jnp.float32) * a
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), (kern.astype(jnp.float32) * a).astype(dtype),
+        window_strides=tuple(strides), padding=tuple(padding),
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b.astype(dtype)
+
+
 def _use_w8a8(deterministic: bool) -> bool:
     """Dispatch the dynamic-int8 serving path (``ops/quant.py``,
     ``VITX_W8A8=1``).  Inference only: ``jnp.round`` in the quantizer has a

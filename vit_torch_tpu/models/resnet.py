@@ -20,7 +20,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vit_torch_tpu.models.layers import Dtype
+from vit_torch_tpu.models.layers import (
+    Dtype, fold_conv_bn_eval, use_folded_bn,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,6 +80,21 @@ class Bottleneck(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out_ch = self.planes * EXPANSION
+        if use_folded_bn(self, deterministic):
+            # eval: every conv+BN pair folded into one conv (the BN
+            # epilogue is an unfused extra pass over the activation map —
+            # PERF.md stem ledger); exact modulo fp association
+            fold = lambda v, cn, bn_, **kw: fold_conv_bn_eval(
+                self, v, cn, bn_, dtype=self.dtype, **kw)
+            y = nn.relu(fold(x, "conv1", "bn1"))
+            y = nn.relu(fold(y, "conv2", "bn2",
+                             strides=(self.stride, self.stride),
+                             padding=((1, 1), (1, 1)), groups=self.groups))
+            y = fold(y, "conv3", "bn3")
+            if self.downsample:
+                x = fold(x, "downsample_conv", "downsample_bn",
+                         strides=(self.stride, self.stride))
+            return nn.relu(x + y)
         bn = lambda name: nn.BatchNorm(use_running_average=deterministic,
                                        momentum=0.9, epsilon=1e-5,
                                        dtype=self.dtype, name=name)
@@ -114,10 +131,14 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         cfg = self.config
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        if use_folded_bn(self, deterministic):
+            x = fold_conv_bn_eval(self, x, "conv1", "bn1", strides=(2, 2),
+                                  padding=((3, 3), (3, 3)), dtype=self.dtype)
+        else:
+            x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                        dtype=self.dtype, name="conv1")(x)
+            x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         block_cls = Bottleneck

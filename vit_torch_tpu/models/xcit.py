@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_torch_tpu.models.layers import (
-    Dtype, LayerNorm, Mlp, QDense, _use_w8a8, gelu_exact, trunc_normal_init,
+    Dtype, LayerNorm, Mlp, QDense, _use_w8a8, fold_conv_bn_eval, gelu_exact,
+    trunc_normal_init, use_folded_bn,
 )
 
 
@@ -148,12 +149,21 @@ class ConvPatchEmbed(nn.Module):
             widths = [d // 4, d // 2, d]
         else:
             raise ValueError("conv patch embed supports patch size 8 or 16")
+        fold = use_folded_bn(self, deterministic)
         for i, w in enumerate(widths):
-            x = nn.Conv(w, (3, 3), strides=2, padding=1, use_bias=False,
-                        dtype=self.dtype, name=f"conv{i}")(x)
-            x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
-                             name=f"bn{i}")(x)
+            if fold:
+                # eval: BN folded into the conv kernel — the separate BN
+                # epilogue pass over the 112²–28² maps is 18% of stem wall
+                # time on-chip (examples/perf/xcit_stem_probe.json)
+                x = fold_conv_bn_eval(self, x, f"conv{i}", f"bn{i}",
+                                      strides=(2, 2), padding=((1, 1), (1, 1)),
+                                      dtype=self.dtype)
+            else:
+                x = nn.Conv(w, (3, 3), strides=2, padding=1, use_bias=False,
+                            dtype=self.dtype, name=f"conv{i}")(x)
+                x = nn.BatchNorm(use_running_average=deterministic,
+                                 momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                                 name=f"bn{i}")(x)
             if i < len(widths) - 1:
                 x = gelu_exact(x)
         B, Hp, Wp, C = x.shape
@@ -190,28 +200,38 @@ def _l2_normalize(x: jnp.ndarray) -> jnp.ndarray:
 
 def xca_core(qkv: jnp.ndarray, temperature: jnp.ndarray, num_heads: int,
              dtype: Dtype) -> jnp.ndarray:
-    """The XCA math between the qkv and proj matmuls: channel-major
-    transpose, fp32 L2 norms, the d×d covariance softmax, and the apply.
+    """The XCA math between the qkv and proj matmuls: L2-normalized d×d
+    channel covariance, softmax, and the apply (reference ``XCA:221-261``).
 
     ``qkv`` is (B, N, 3C); returns (B, N, C).  Module-level so perf probes
     can ablate it and a fused-kernel dispatch can replace it wholesale —
-    its FLOPs are ~2% of a block, but it carries every layout transpose
-    and normalization sweep of the XCA path."""
+    its FLOPs are ~2% of a block.
+
+    Transpose-free formulation: the reference materializes channel-major
+    (B, H, d, N) views of q/k/v, L2-normalizes them over N, and contracts
+    over N — four full-tensor HBM transposes plus two norm sweeps.  Since
+    ``normalize(q) · normalize(k)ᵀ == (q · kᵀ) / outer(|q|, |k|)``, the
+    covariance is computed HERE directly from the (B, N, H, d) layout
+    (einsum contracts the token axis in place) and the normalization is
+    applied to the tiny (d, d) matrix afterward — exact same math modulo
+    fp association, zero layout transposes (the XCA-glue ablation measured
+    the channel-major round-trips at 8.3% of the xcit forward,
+    ``examples/perf/xcit_overhead_ablation.json``)."""
     B, N, C3 = qkv.shape
     C = C3 // 3
     H, d = num_heads, C // num_heads
     qkv = qkv.reshape(B, N, 3, H, d)
-    # transpose to channel-major: (B, H, d, N)
-    q = qkv[:, :, 0].transpose(0, 2, 3, 1)
-    k = qkv[:, :, 1].transpose(0, 2, 3, 1)
-    v = qkv[:, :, 2].transpose(0, 2, 3, 1)
-    q = _l2_normalize(q)
-    k = _l2_normalize(k)
-    attn = jnp.einsum("bhdn,bhen->bhde", q, k,
-                      preferred_element_type=jnp.float32) * temperature
-    attn = jax.nn.softmax(attn, axis=-1).astype(dtype)
-    out = jnp.einsum("bhde,bhen->bhdn", attn, v.astype(dtype))
-    return out.transpose(0, 3, 1, 2).reshape(B, N, C)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B, N, H, d)
+    # raw token-axis covariance in fp32, normalized on the d×d output
+    cov = jnp.einsum("bnhd,bnhe->bhde", q.astype(jnp.float32),
+                     k.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    qn = jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=1), 1e-12)
+    kn = jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=1), 1e-12)
+    attn = cov / (qn[..., None] * kn[:, :, None, :])   # (B,H,d,1)·(B,H,1,e)
+    attn = jax.nn.softmax(attn * temperature, axis=-1).astype(dtype)
+    out = jnp.einsum("bhde,bnhe->bnhd", attn, v)
+    return out.reshape(B, N, C)
 
 
 class XCA(nn.Module):
