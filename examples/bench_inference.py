@@ -28,6 +28,10 @@ CONFIGS = [
     ("dino_vitb8", 224, (1, 8, 32)),
     ("swin_base_patch4_window12_384_22k", 384, (1, 8, 32)),
     ("dino_vits16", 224, (1, 32)),
+    # BN-carrying families: eval-mode conv+BN folding engages here
+    # (VITX_FOLD_BN, models/layers.py:fold_conv_bn_eval)
+    ("resnext50_32x4d", 224, (1, 32)),
+    ("xcit_small_12_p16", 224, (1, 32)),
 ]
 
 STEPS = 20
@@ -85,12 +89,23 @@ def main() -> None:
     p.add_argument("--w8a8", action="store_true",
                    help="also measure each config with the dynamic-int8 "
                         "serving path (VITX_W8A8=1)")
+    p.add_argument("--only", default=None,
+                   help="re-run only archs whose name contains this "
+                        "substring, merging into the existing JSON")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "inference_bench_tpu.json"))
     args = p.parse_args()
     configs = CONFIGS[:1] if args.quick else CONFIGS
+    if args.only:
+        configs = [c for c in configs if args.only in c[0]]
     results = []
+    if args.only and os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f).get("results", [])
+        keys = {(c[0], bs) for c in configs for bs in c[2]}
+        results = [r for r in results
+                   if (r.get("arch"), r.get("bs")) not in keys]
     quants = (False, True) if args.w8a8 else (False,)
     for arch, size, bss in configs:
         for bs in bss:

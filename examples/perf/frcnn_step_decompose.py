@@ -33,8 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-SIZE = 512
-BS = 8
+SIZE = int(os.environ.get("FRCNN_PROBE_SIZE", "512"))
+BS = int(os.environ.get("FRCNN_PROBE_BS", "8"))
 CHUNKS = (4, 16)
 TRIALS = 3
 
@@ -96,28 +96,15 @@ def _slope(run, fence):
 
 
 def time_step(trainer, batch) -> float:
-    """Slope-timed production-step chain (params/opt carried via scan)."""
-    step = trainer._train_step
-
-    def make(length):
-        @jax.jit
-        def run(params, opt_state, model_state, batch, rng):
-            def one(carry, sr):
-                params, opt_state, model_state = carry
-                params, opt_state, logs, model_state = step(
-                    params, opt_state, batch, sr, model_state)
-                return (params, opt_state, model_state), logs["loss"]
-            rngs = jax.random.split(rng, length)
-            _, losses = jax.lax.scan(one, (params, opt_state, model_state),
-                                     rngs)
-            return losses
-        return run
-
-    fns = {length: make(length) for length in CHUNKS}
-    return _slope(
-        lambda n: fns[n](trainer.params, trainer.opt_state,
-                         trainer.model_state, batch, jax.random.PRNGKey(1)),
-        lambda out: float(out[-1]))
+    """Slope-timed production-step chain (the trainer's own _train_chunk:
+    K steps per dispatch, params/opt carried through the scan)."""
+    def run(length):
+        batches = jax.tree.map(
+            lambda a: jnp.broadcast_to(a[None], (length,) + a.shape), batch)
+        return trainer._train_chunk(trainer.params, trainer.opt_state,
+                                    batches, jax.random.PRNGKey(1),
+                                    trainer.model_state)
+    return _slope(run, lambda out: float(out[2]["loss"][-1]))
 
 
 def time_fwd_loss(trainer, batch) -> float:
@@ -131,14 +118,15 @@ def time_fwd_loss(trainer, batch) -> float:
             images = (batch["image"] / 255.0 - jnp.asarray(norm["mean"])) \
                 / jnp.asarray(norm["std"])
             images = images.astype(jnp.bfloat16)
-            targets = {k: batch[k] for k in ("boxes", "labels", "box_mask")}
+            targets = {k: batch[k]
+                       for k in ("boxes", "labels", "box_mask", "mask")}
 
             def one(c, sr):
                 out, _ = model.apply({"params": params, **model_state},
                                      images, rng=None, deterministic=False,
                                      mutable=list(model_state.keys()))
                 losses = F.faster_rcnn_losses(out, targets, cfg, sr)
-                return c + losses["loss_total"], 0
+                return c + losses["loss"], 0
             rngs = jax.random.split(rng, length)
             c, _ = jax.lax.scan(one, jnp.float32(0), rngs)
             return c
@@ -222,12 +210,15 @@ def main() -> None:
 
     def fake_match(candidates, gt_boxes, gt_mask, *a, **kw):
         n = candidates.shape[0]
-        m = jnp.zeros((n,), jnp.int32)
-        return m, jnp.ones((n,), jnp.float32) * 0.8
+        best_gt = jnp.zeros((n,), jnp.int32)
+        label = (jnp.arange(n) % 3 == 0).astype(jnp.int32)  # mixed pos/neg
+        return best_gt, label
     def fake_sample(rng, label, num, pos_fraction):
         n = label.shape[0]
         idx = jnp.arange(num, dtype=jnp.int32) % n
-        return idx, jnp.ones((num,), bool)
+        weight = jnp.ones((num,), jnp.float32)
+        is_pos = (jnp.arange(num) % 4 == 0).astype(jnp.float32)
+        return idx, weight, is_pos
     F.match_to_gt = fake_match
     F.sample_balanced = fake_sample
     try:

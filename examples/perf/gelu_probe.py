@@ -69,9 +69,13 @@ def bench(name: str) -> dict:
         @jax.jit
         def run(x):
             def one(c, _):
-                # data-dependent chain so reps cannot collapse
-                y = fn(x + c)
-                return y[0, 0, 0, 0].astype(jnp.float32), 0
+                # data-dependent chain so reps cannot collapse; keep the
+                # perturbation in x's dtype or the whole op promotes to f32.
+                # The carry must consume EVERY element (jnp.sum) — a single
+                # element lets XLA dead-code the rest of the map (the first
+                # run of this probe "measured" 10 Telem/s that way)
+                y = fn(x + c.astype(x.dtype))
+                return jnp.sum(y.astype(jnp.float32)) * 1e-9, 0
             c, _ = jax.lax.scan(one, jnp.float32(0), None, length=length)
             return c
         float(run(x))

@@ -211,7 +211,7 @@ def test_bench_flops_dispatch_covers_zoo():
 
 # --- eval-mode conv+BN folding ---------------------------------------------
 
-@pytest.mark.parametrize("arch", ["xcit_test", "resnet_test"])
+@pytest.mark.parametrize("arch", ["resnet_test"])
 def test_folded_bn_matches_module_path(arch, monkeypatch):
     """VITX_FOLD_BN (default on) folds eval-mode BatchNorm into the conv
     kernels (models/layers.py:fold_conv_bn_eval).  Must be numerically

@@ -31,8 +31,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_torch_tpu.models.layers import (
-    Dtype, LayerNorm, Mlp, QDense, _use_w8a8, fold_conv_bn_eval, gelu_exact,
-    trunc_normal_init, use_folded_bn,
+    Dtype, LayerNorm, Mlp, QDense, _use_w8a8, gelu_exact, trunc_normal_init,
 )
 
 
@@ -149,21 +148,19 @@ class ConvPatchEmbed(nn.Module):
             widths = [d // 4, d // 2, d]
         else:
             raise ValueError("conv patch embed supports patch size 8 or 16")
-        fold = use_folded_bn(self, deterministic)
+        # NB: eval-mode BN folding (fold_conv_bn_eval) was tried here off
+        # the stem-isolation probe (bn_fold −18% stem-level) and measured
+        # e2e NEGATIVE (−1.7/−2.1% two runs, examples/perf/bn_fold_e2e.json)
+        # — at these shapes XLA already fuses the BN affine into the GELU
+        # epilogue pass, so folding saves nothing and perturbs the conv
+        # fusion.  ResNet (BN+relu after every conv) keeps it at +21%.
+        # e2e governs: module path here.
         for i, w in enumerate(widths):
-            if fold:
-                # eval: BN folded into the conv kernel — the separate BN
-                # epilogue pass over the 112²–28² maps is 18% of stem wall
-                # time on-chip (examples/perf/xcit_stem_probe.json)
-                x = fold_conv_bn_eval(self, x, f"conv{i}", f"bn{i}",
-                                      strides=(2, 2), padding=((1, 1), (1, 1)),
-                                      dtype=self.dtype)
-            else:
-                x = nn.Conv(w, (3, 3), strides=2, padding=1, use_bias=False,
-                            dtype=self.dtype, name=f"conv{i}")(x)
-                x = nn.BatchNorm(use_running_average=deterministic,
-                                 momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                                 name=f"bn{i}")(x)
+            x = nn.Conv(w, (3, 3), strides=2, padding=1, use_bias=False,
+                        dtype=self.dtype, name=f"conv{i}")(x)
+            x = nn.BatchNorm(use_running_average=deterministic,
+                             momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                             name=f"bn{i}")(x)
             if i < len(widths) - 1:
                 x = gelu_exact(x)
         B, Hp, Wp, C = x.shape
@@ -222,9 +219,11 @@ def xca_core(qkv: jnp.ndarray, temperature: jnp.ndarray, num_heads: int,
     H, d = num_heads, C // num_heads
     qkv = qkv.reshape(B, N, 3, H, d)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B, N, H, d)
-    # raw token-axis covariance in fp32, normalized on the d×d output
-    cov = jnp.einsum("bnhd,bnhe->bhde", q.astype(jnp.float32),
-                     k.astype(jnp.float32),
+    # raw token-axis covariance (model dtype in, fp32 accumulate — the
+    # same precision contract as every other attention logit here; the
+    # reference's fp32-normalized-input dot differs only in where the
+    # bf16 rounding lands), normalized on the d×d output
+    cov = jnp.einsum("bnhd,bnhe->bhde", q, k,
                      preferred_element_type=jnp.float32)
     qn = jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=1), 1e-12)
     kn = jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=1), 1e-12)
