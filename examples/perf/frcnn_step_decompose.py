@@ -122,8 +122,13 @@ def time_fwd_loss(trainer, batch) -> float:
                        for k in ("boxes", "labels", "box_mask", "mask")}
 
             def one(c, sr):
+                # carry-dependent input: without this the loop-invariant
+                # forward hoists out of the scan and the slope reads ~0
+                # (the 64px CPU smoke measured fwd_loss at 1.5 ms vs a
+                # 4000 ms full step that way)
+                img = images + (c * 1e-24).astype(images.dtype)
                 out, _ = model.apply({"params": params, **model_state},
-                                     images, rng=None, deterministic=False,
+                                     img, rng=None, deterministic=False,
                                      mutable=list(model_state.keys()))
                 losses = F.faster_rcnn_losses(out, targets, cfg, sr)
                 return c + losses["loss"], 0
@@ -158,8 +163,11 @@ def time_backbone_only(trainer, batch) -> float:
                            for f in feats), new_state
 
             def one(c, _):
-                params = jax.tree.map(lambda t: t + c.astype(t.dtype) * 0,
-                                      variables["params"])
+                # (c * 1e-24) underflows to zero in bf16 at runtime but
+                # cannot be constant-folded away like c * 0 could
+                params = jax.tree.map(
+                    lambda t: t + (c * 1e-24).astype(t.dtype),
+                    variables["params"])
                 model_state = {k: v for k, v in variables.items()
                                if k != "params"}
                 (l, _), grads = jax.value_and_grad(

@@ -8,7 +8,11 @@ over 10/40-step chunks — see slope_timing.py for why single-length
 averages are poisoned by the ~22 ms dispatch floor):
 
 - no_ln:            every LayerNorm -> Identity (3 per XCA block)
-- no_l2norm:        the fp32 q/k unit-normalization -> identity
+- no_l2norm:        STALE since the transpose-free xca_core rewrite
+                    (models/xcit.py): the covariance is normalized on the
+                    (d, d) output now, so patching _l2_normalize is a
+                    no-op — expect 0; kept for continuity with the
+                    recorded round-3 numbers
 - xca_passthrough:  xca_core -> a (B, N, C) slice of the qkv output
                     (removes the channel-major transposes, norms, d×d
                     covariance softmax and apply; keeps qkv+proj matmuls)
