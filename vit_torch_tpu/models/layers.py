@@ -32,8 +32,19 @@ trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
 
 def gelu_exact(x: jax.Array) -> jax.Array:
     """Exact (erf) GELU — torch's ``nn.GELU()`` default. flax's ``nn.gelu``
-    defaults to the tanh approximation, which breaks logits parity."""
-    return nn.gelu(x, approximate=False)
+    defaults to the tanh approximation, which breaks logits parity.
+
+    Evaluated as ``0.5·x·(1+erf(x/√2))`` in fp32, NOT through
+    ``jax.nn.gelu(approximate=False)``: that lowers via ``lax.erfc``,
+    whose bf16 codegen measures 1.9× slower than fp32 erf on v5e
+    (343 vs 179 µs at the xcit-stem shape — ``examples/perf/
+    gelu_probe.json``).  The fp32 upcast also matches torch's bf16
+    behavior exactly (torch computes GELU in fp32 and rounds once) and
+    avoids the ``1+erf`` cancellation a bf16 erf would hit in the
+    negative tail."""
+    x32 = x.astype(jnp.float32)
+    y = 0.5 * x32 * (1.0 + jax.lax.erf(x32 * 0.7071067811865476))
+    return y.astype(x.dtype)
 
 
 import functools as _functools
