@@ -146,6 +146,50 @@ def test_talking_heads_kernel_matches_xla(monkeypatch):
                                    err_msg=str(path))
 
 
+@pytest.mark.parametrize("shape", [(2, 4, 37, 32), (1, 8, 197, 48),
+                                   (1, 2, 530, 64)])
+def test_talking_heads_v2_matches_ref(shape):
+    """Mix-as-matmul v2 kernel (talking_heads_attention_bnc) matches the
+    XLA reference on the head-concatenated layout — forward and grads,
+    incl. padded-N and q-row-blocked (N>512) cases.  bl's gradient is ~0
+    by softmax shift-invariance (v2 drops the term exactly)."""
+    from vit_torch_tpu.ops import talking_heads as TH
+    B, H, N, D = shape
+    C = H * D
+    rng = np.random.default_rng(11)
+    q, k, v = (jnp.asarray(rng.normal(0, 1, (B, N, C)), jnp.float32)
+               for _ in range(3))
+    wl = jnp.asarray(rng.normal(0, 0.2, (H, H)), jnp.float32)
+    bl = jnp.asarray(rng.normal(0, 0.1, (H,)), jnp.float32)
+    ww = jnp.asarray(rng.normal(0, 0.2, (H, H)), jnp.float32)
+    bw = jnp.asarray(rng.normal(0, 0.1, (H,)), jnp.float32)
+    scale = D ** -0.5
+    assert TH.fits_v2(N, H, D)
+
+    def k_loss(args):
+        out = TH.talking_heads_attention_bnc(*args[:3], *args[3:],
+                                             num_heads=H)
+        return jnp.sum(out ** 2)
+
+    def r_loss(args):
+        return jnp.sum(TH._ref_forward_bnc(*args, H, scale) ** 2)
+
+    args = (q, k, v, wl, bl, ww, bw)
+    ours = TH.talking_heads_attention_bnc(q, k, v, wl, bl, ww, bw,
+                                          num_heads=H)
+    ref = TH._ref_forward_bnc(q, k, v, wl, bl, ww, bw, H, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+    g_ours = jax.grad(k_loss)(args)
+    g_ref = jax.grad(r_loss)(args)
+    for a, b, name in zip(g_ours, g_ref, "q k v wl bl ww bw".split()):
+        if name == "bl":
+            assert float(jnp.max(jnp.abs(a))) < 1e-3
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3, err_msg=name)
+
+
 def test_attn_layout_paths_yield_to_seq_parallel(monkeypatch):
     """With a seq-sharded mesh active, the Attention layout/fusion fast
     paths must stand down so ring attention handles the sharded token axis

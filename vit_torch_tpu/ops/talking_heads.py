@@ -159,3 +159,175 @@ def talking_heads_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     out = _talking_heads(q, k, v, wl, bl.reshape(1, H), ww,
                          bw.reshape(1, H), float(scale), kv_len)
     return out[:, :, :N] if NP != N else out
+
+
+# ---------------------------------------------------------------------------
+# v2: mix-as-matmul formulation over head-concatenated (B, N, C) tensors.
+#
+# The pre-softmax mix is LINEAR in the scores, so it folds into the QKᵀ
+# contraction itself: with K̂ = [K_0 | K_1 | … | K_{H-1}] ∈ (N, C) the
+# head-concatenated keys and Q̂_g = [wl_{0g}·Q_0 | … | wl_{H-1,g}·Q_{H-1}]
+# (one per-lane rescale of the concatenated queries),
+#
+#     (Q̂_g · K̂ᵀ)[n, m] = Σ_h Σ_j wl[h,g]·q[n,h,j]·k[m,h,j]
+#                       = Σ_h wl[h,g]·(Q_h K_hᵀ)[n, m]  — the mixed logits.
+#
+# The cross-head contraction over C = H·D (384 for CaiT-S) IS the mix, so
+# the H² per-tile VPU accumulation loops of the v1 kernel become one
+# MXU-dense matmul per output head (contraction 384 vs 48, full-lane
+# output).  Post-softmax, X_g = P_g · V̂ ∈ (N, C) holds P_g V_h for EVERY
+# h in its lane blocks, so the proj_w mix collapses to one VPU FMA per g
+# with a host-expanded weight row (ww_exp[g, h·D+j] = ww[g,h]) — no lane
+# slicing, no score stacks.  Scores are per-g transients: VMEM drops from
+# H fp32 (N, N) stacks (~11 MB budget) to ~1.2 MB at the CaiT-S shape.
+#
+# Two exact algebraic simplifications vs the reference chain
+# (reference models/cait.py:87-128):
+#   * proj_l's bias bl[g] is constant across a softmax row — softmax is
+#     shift-invariant, so it is a mathematical no-op and is dropped.
+#   * proj_w's bias bw[g] adds bw[g]·Σ_m V_g[m, :] to the output — folded
+#     in as bw_exp ⊙ colsum(V̂) (zero-padded kv rows keep the colsum
+#     exact).
+# ---------------------------------------------------------------------------
+
+_V2_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def fits_v2(N: int, num_heads: int, head_dim: int) -> bool:
+    """True when one (q-block, full-kv) v2 program fits VMEM."""
+    C = num_heads * head_dim
+    NP = _round_up(N, 16)
+    CP = _round_up(C, _LANE)
+    bq = _v2_qblock(NP)
+    io = 2 * (2 * NP * CP + 2 * bq * CP) * 2          # dbl-buffered q/k/v/o
+    acc = bq * CP * 4                                  # fp32 out accumulator
+    trans = 2 * bq * _round_up(NP, _LANE) * 4          # s + p transients
+    return io + acc + trans <= _V2_VMEM_BUDGET
+
+
+_V2_MAX_QBLOCK = 512
+
+
+def _kernel_v2(q_ref, k_ref, v_ref, wl_ref, ww_ref, bw_ref, o_ref, *,
+               num_heads: int, kv_len: int):
+    khat = k_ref[0]                                    # (N, C) bf16
+    vhat = v_ref[0]
+    qb = q_ref[0].astype(jnp.float32)                  # (BQ, C)
+    N = khat.shape[0]
+    vsum = jnp.sum(vhat.astype(jnp.float32), axis=0, keepdims=True)
+    acc = jnp.broadcast_to(bw_ref[...].astype(jnp.float32) * vsum,
+                           (qb.shape[0], khat.shape[1]))
+    for g in range(num_heads):
+        qs = (qb * wl_ref[g][None, :]).astype(khat.dtype)
+        s = jax.lax.dot_general(qs, khat, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if kv_len < N:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        x = jax.lax.dot(p.astype(vhat.dtype), vhat,
+                        preferred_element_type=jnp.float32)   # (BQ, C)
+        acc = acc + x * ww_ref[g][None, :].astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _v2_qblock(NP: int) -> int:
+    """Largest ≤512-row q block tiling NP evenly (NP is a 16-multiple)."""
+    nblk = -(-NP // _V2_MAX_QBLOCK)
+    while NP % (16 * nblk):
+        nblk += 1
+    return NP // nblk
+
+
+def _fwd_impl_v2(q, k, v, wl_exp, ww_exp, bw_exp, num_heads, kv_len):
+    B, NP, C = q.shape
+    bq = _v2_qblock(NP)
+    qspec = pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0))
+    kvspec = pl.BlockSpec((1, NP, C), lambda b, i: (b, 0, 0))
+    wspec = pl.BlockSpec(wl_exp.shape, lambda b, i: (0, 0))
+    return pl.pallas_call(
+        functools.partial(_kernel_v2, num_heads=num_heads, kv_len=kv_len),
+        out_shape=jax.ShapeDtypeStruct((B, NP, C), q.dtype),
+        grid=(B, NP // bq),
+        in_specs=[qspec, kvspec, kvspec, wspec, wspec,
+                  pl.BlockSpec((1, C), lambda b, i: (0, 0))],
+        out_specs=qspec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(q, k, v, wl_exp, ww_exp, bw_exp)
+
+
+def _ref_forward_bnc(q, k, v, wl, bl, ww, bw, num_heads, scale, kv_len=None):
+    """XLA einsum reference on the (B, N, C) head-concatenated layout."""
+    B, N, C = q.shape
+    H, D = num_heads, C // num_heads
+
+    def heads(t):
+        return t.reshape(B, N, H, D).transpose(0, 2, 1, 3)
+
+    out = _ref_forward(heads(q), heads(k), heads(v), wl, bl.reshape(1, H),
+                       ww, bw.reshape(1, H), scale, kv_len)
+    return out.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _talking_heads_v2(q, k, v, wl_exp, ww_exp, bw_exp, params,
+                      num_heads, scale, kv_len):
+    return _fwd_impl_v2(q, k, v, wl_exp, ww_exp, bw_exp, num_heads, kv_len)
+
+
+def _th_v2_fwd(q, k, v, wl_exp, ww_exp, bw_exp, params,
+               num_heads, scale, kv_len):
+    out = _fwd_impl_v2(q, k, v, wl_exp, ww_exp, bw_exp, num_heads, kv_len)
+    return out, (q, k, v, params)
+
+
+def _th_v2_bwd(num_heads, scale, kv_len, res, do):
+    q, k, v, params = res
+    wl, bl, ww, bw = params
+
+    def ref(q, k, v, wl, bl, ww, bw):
+        return _ref_forward_bnc(q, k, v, wl, bl, ww, bw, num_heads, scale,
+                                kv_len)
+
+    _, vjp = jax.vjp(ref, q, k, v, wl, bl, ww, bw)
+    dq, dk, dv, dwl, dbl, dww, dbw = vjp(do)
+    return dq, dk, dv, None, None, None, (dwl, dbl, dww, dbw)
+
+
+_talking_heads_v2.defvjp(_th_v2_fwd, _th_v2_bwd)
+
+
+def talking_heads_attention_bnc(q: jax.Array, k: jax.Array, v: jax.Array,
+                                wl: jax.Array, bl: jax.Array,
+                                ww: jax.Array, bw: jax.Array, *,
+                                num_heads: int,
+                                scale: Optional[float] = None) -> jax.Array:
+    """v2 fused talking-heads attention over ``(B, N, C)`` tensors with
+    heads concatenated along C (``[h0·D | h1·D | …]``).  Differentiable in
+    all array inputs (backward recomputes through the XLA reference).
+    Call :func:`fits_v2` first.
+    """
+    B, N, C = q.shape
+    H, D = num_heads, C // num_heads
+    if scale is None:
+        scale = D ** -0.5
+    # host-side expansions: one weight row per MXU pass / FMA pass
+    wl_exp = jnp.repeat(wl.astype(jnp.float32).T, D, axis=1) * scale
+    ww_exp = jnp.repeat(ww.astype(jnp.float32), D, axis=1)
+    bw_exp = jnp.repeat(bw.astype(jnp.float32).reshape(1, H), D, axis=1)
+    NP = _round_up(N, 16)
+    if NP % min(NP, _V2_MAX_QBLOCK):
+        NP = _round_up(NP, _V2_MAX_QBLOCK)
+    kv_len = N
+    if NP != N:
+        padspec = ((0, 0), (0, NP - N), (0, 0))
+        q = jnp.pad(q, padspec)
+        k = jnp.pad(k, padspec)
+        v = jnp.pad(v, padspec)
+    out = _talking_heads_v2(q, k, v, wl_exp, ww_exp, bw_exp,
+                            (wl, bl, ww, bw), H, float(scale), kv_len)
+    return out[:, :N] if NP != N else out
