@@ -119,8 +119,10 @@ def bench(mode: str, bs: int) -> float:
 
 def main() -> None:
     rows = []
-    for mode in ("crop_vmap_ds", "crop_take2", "crop_roll", "hflip",
-                 "normalize"):
+    # crop_vmap_ds last: its bs32 compile wedged a 30-min remote-compile
+    # hang on the first attempt — don't let it block the alternatives
+    for mode in ("crop_take2", "crop_roll", "hflip", "normalize",
+                 "crop_vmap_ds"):
         for bs in BATCHES:
             dt = bench(mode, bs)
             r = {"mode": mode, "bs": bs,
@@ -128,11 +130,12 @@ def main() -> None:
                  "us_per_img": round(1e6 * dt / bs, 2)}
             print(json.dumps(r), flush=True)
             rows.append(r)
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "augment_bisect.json")
-    with open(out, "w") as f:
-        json.dump({"device": jax.devices()[0].device_kind, "size": SIZE,
-                   "chunk_lengths": CHUNKS, "rows": rows}, f, indent=1)
+            out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "augment_bisect.json")
+            with open(out, "w") as f:
+                json.dump({"device": jax.devices()[0].device_kind,
+                           "size": SIZE, "chunk_lengths": CHUNKS,
+                           "rows": rows}, f, indent=1)
     print("saved", out, flush=True)
 
 

@@ -30,6 +30,21 @@ def normalize(images: jax.Array, mean: Sequence[float], std: Sequence[float],
     return ((x - mean) * inv_std).astype(dtype)
 
 
+def _batched_crop(images: jax.Array, offs_y: jax.Array, offs_x: jax.Array,
+                  out_h: int, out_w: int) -> jax.Array:
+    """Per-sample crop as two single-axis row/col gathers.
+
+    vmap(dynamic_slice) lowers to a 2D-offset gather whose XLA TPU path
+    collapses superlinearly with batch (29× from bs64 → bs128 at 224px —
+    PERF.md bs128 ledger, `examples/perf/augment_bisect.py`); two chained
+    ``take_along_axis`` gathers keep the minor dims contiguous and stay
+    linear in B.  Element-for-element identical output."""
+    rows = offs_y[:, None] + jnp.arange(out_h)[None, :]
+    x = jnp.take_along_axis(images, rows[:, :, None, None], axis=1)
+    cols = offs_x[:, None] + jnp.arange(out_w)[None, :]
+    return jnp.take_along_axis(x, cols[:, None, :, None], axis=2)
+
+
 def random_crop(rng: jax.Array, images: jax.Array, pad: int,
                 fill: int = 128) -> jax.Array:
     """Batched random crop after constant-padding (reference RandomCrop
@@ -41,11 +56,7 @@ def random_crop(rng: jax.Array, images: jax.Array, pad: int,
     ry, rx = jax.random.split(rng)
     offs_y = jax.random.randint(ry, (B,), 0, 2 * pad + 1)
     offs_x = jax.random.randint(rx, (B,), 0, 2 * pad + 1)
-
-    def crop_one(img, oy, ox):
-        return jax.lax.dynamic_slice(img, (oy, ox, 0), (H, W, C))
-
-    return jax.vmap(crop_one)(padded, offs_y, offs_x)
+    return _batched_crop(padded, offs_y, offs_x, H, W)
 
 
 def random_hflip(rng: jax.Array, images: jax.Array, p: float = 0.5) -> jax.Array:
@@ -67,11 +78,7 @@ def random_crop_to(rng: jax.Array, images: jax.Array, size: int) -> jax.Array:
     ry, rx = jax.random.split(rng)
     offs_y = jax.random.randint(ry, (B,), 0, H - size + 1)
     offs_x = jax.random.randint(rx, (B,), 0, W - size + 1)
-
-    def crop_one(img, oy, ox):
-        return jax.lax.dynamic_slice(img, (oy, ox, 0), (size, size, C))
-
-    return jax.vmap(crop_one)(images, offs_y, offs_x)
+    return _batched_crop(images, offs_y, offs_x, size, size)
 
 
 def cutout(rng: jax.Array, images: jax.Array, size: int,

@@ -193,57 +193,79 @@ def talking_heads_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 _V2_VMEM_BUDGET = 11 * 1024 * 1024
 
 
+_V2_MAX_QBLOCK = 512
+
+
+def _v2_bytes(NP: int, bq: int, H: int, CP: int, NPl: int) -> int:
+    """Peak VMEM of one stacked v2 program at padded shapes."""
+    io = 2 * (2 * NP * CP + 2 * bq * CP) * 2          # dbl-buffered q/k/v/o
+    qhat = H * bq * CP * 2                             # stacked Q̂ (bf16)
+    sp = 2 * H * bq * NPl * 4                          # s + p stacks (fp32)
+    x = H * bq * CP * 4                                # stacked PV̂ out
+    acc = bq * CP * 4                                  # fp32 out accumulator
+    return io + qhat + sp + x + acc
+
+
 def fits_v2(N: int, num_heads: int, head_dim: int) -> bool:
     """True when one (q-block, full-kv) v2 program fits VMEM."""
     C = num_heads * head_dim
     NP = _round_up(N, 16)
-    CP = _round_up(C, _LANE)
-    bq = _v2_qblock(NP)
-    io = 2 * (2 * NP * CP + 2 * bq * CP) * 2          # dbl-buffered q/k/v/o
-    acc = bq * CP * 4                                  # fp32 out accumulator
-    trans = 2 * bq * _round_up(NP, _LANE) * 4          # s + p transients
-    return io + acc + trans <= _V2_VMEM_BUDGET
-
-
-_V2_MAX_QBLOCK = 512
+    return _v2_bytes(NP, _v2_qblock(NP, num_heads, C), num_heads,
+                     _round_up(C, _LANE),
+                     _round_up(NP, _LANE)) <= _V2_VMEM_BUDGET
 
 
 def _kernel_v2(q_ref, k_ref, v_ref, wl_ref, ww_ref, bw_ref, o_ref, *,
                num_heads: int, kv_len: int):
+    # Stacked single-dot schedule: the per-output-head Q̂_g rescales are
+    # concatenated along rows into one (H·BQ, C) operand so QK̂, softmax
+    # and PV̂ each run as ONE fat MXU/VPU op (M = H·BQ) instead of H
+    # small serial ones — same FLOPs, deep MXU pipelining.
     khat = k_ref[0]                                    # (N, C) bf16
     vhat = v_ref[0]
     qb = q_ref[0].astype(jnp.float32)                  # (BQ, C)
-    N = khat.shape[0]
+    H, N = num_heads, khat.shape[0]
+    BQ = qb.shape[0]
+    qhat = jnp.concatenate(
+        [(qb * wl_ref[g][None, :]).astype(khat.dtype) for g in range(H)],
+        axis=0)                                        # (H·BQ, C)
+    s = jax.lax.dot_general(qhat, khat, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if kv_len < N:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    x = jax.lax.dot(p.astype(vhat.dtype), vhat,
+                    preferred_element_type=jnp.float32)  # (H·BQ, C)
     vsum = jnp.sum(vhat.astype(jnp.float32), axis=0, keepdims=True)
     acc = jnp.broadcast_to(bw_ref[...].astype(jnp.float32) * vsum,
-                           (qb.shape[0], khat.shape[1]))
-    for g in range(num_heads):
-        qs = (qb * wl_ref[g][None, :]).astype(khat.dtype)
-        s = jax.lax.dot_general(qs, khat, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        if kv_len < N:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < kv_len, s, -1e30)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        x = jax.lax.dot(p.astype(vhat.dtype), vhat,
-                        preferred_element_type=jnp.float32)   # (BQ, C)
-        acc = acc + x * ww_ref[g][None, :].astype(jnp.float32)
+                           (BQ, khat.shape[1]))
+    for g in range(H):
+        acc = acc + (x[g * BQ:(g + 1) * BQ]
+                     * ww_ref[g][None, :].astype(jnp.float32))
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _v2_qblock(NP: int) -> int:
-    """Largest ≤512-row q block tiling NP evenly (NP is a 16-multiple)."""
+def _v2_qblock(NP: int, H: int, C: int) -> int:
+    """Largest ≤512-row q block tiling NP evenly whose stacked program
+    fits the VMEM budget (NP is a 16-multiple)."""
+    CP = _round_up(C, _LANE)
+    NPl = _round_up(NP, _LANE)
     nblk = -(-NP // _V2_MAX_QBLOCK)
-    while NP % (16 * nblk):
+    while nblk <= NP // 16:
+        if NP % (16 * nblk) == 0:
+            bq = NP // nblk
+            if _v2_bytes(NP, bq, H, CP, NPl) <= _V2_VMEM_BUDGET:
+                return bq
         nblk += 1
-    return NP // nblk
+    return 16
 
 
 def _fwd_impl_v2(q, k, v, wl_exp, ww_exp, bw_exp, num_heads, kv_len):
     B, NP, C = q.shape
-    bq = _v2_qblock(NP)
+    bq = _v2_qblock(NP, num_heads, C)
     qspec = pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0))
     kvspec = pl.BlockSpec((1, NP, C), lambda b, i: (b, 0, 0))
     wspec = pl.BlockSpec(wl_exp.shape, lambda b, i: (0, 0))
@@ -320,8 +342,6 @@ def talking_heads_attention_bnc(q: jax.Array, k: jax.Array, v: jax.Array,
     ww_exp = jnp.repeat(ww.astype(jnp.float32), D, axis=1)
     bw_exp = jnp.repeat(bw.astype(jnp.float32).reshape(1, H), D, axis=1)
     NP = _round_up(N, 16)
-    if NP % min(NP, _V2_MAX_QBLOCK):
-        NP = _round_up(NP, _V2_MAX_QBLOCK)
     kv_len = N
     if NP != N:
         padspec = ((0, 0), (0, NP - N), (0, 0))
