@@ -104,6 +104,46 @@ def test_roi_align_constant_map():
     np.testing.assert_allclose(np.asarray(out), 7.0, atol=1e-5)
 
 
+def test_roi_align_flat_matches_blend():
+    """The flat-gather lowering must equal the all-levels blend exactly
+    (each RoI reads one level either way)."""
+    from vit_torch_tpu.detection.faster_rcnn import (_roi_align_blend,
+                                                     _roi_align_flat)
+    rng = np.random.default_rng(3)
+    feats = [jnp.asarray(rng.normal(size=(2, 32, 32, 8)), jnp.float32),
+             jnp.asarray(rng.normal(size=(2, 16, 16, 8)), jnp.float32),
+             jnp.asarray(rng.normal(size=(2, 8, 8, 8)), jnp.float32)]
+    # boxes spanning all levels, incl. edge-clipping and degenerate ones
+    boxes = jnp.asarray(np.stack([
+        np.stack([[2.0, 2, 20, 20], [0, 0, 120, 120], [-5, -5, 40, 60],
+                  [100, 100, 128, 128], [7, 7, 7, 7]]),
+        np.stack([[0.0, 0, 10, 10], [30, 40, 90, 80], [1, 1, 127, 127],
+                  [64, 0, 128, 64], [0, 64, 64, 128]])]), jnp.float32)
+    a = _roi_align_flat(feats, boxes, (4, 8, 16), output_size=5)
+    b = _roi_align_blend(feats, boxes, (4, 8, 16), output_size=5)
+    assert a.shape == (2, 5, 5, 5, 8)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_roi_align_flat_grads_match_blend():
+    from vit_torch_tpu.detection.faster_rcnn import (_roi_align_blend,
+                                                     _roi_align_flat)
+    rng = np.random.default_rng(5)
+    feats = [jnp.asarray(rng.normal(size=(1, 16, 16, 4)), jnp.float32),
+             jnp.asarray(rng.normal(size=(1, 8, 8, 4)), jnp.float32)]
+    boxes = jnp.asarray([[[3.0, 2, 14, 13], [0, 0, 60, 60]]], jnp.float32)
+
+    def loss(fn, fs):
+        return (fn(fs, boxes, (4, 8), output_size=3) ** 2).sum()
+
+    ga = jax.grad(lambda fs: loss(_roi_align_flat, fs))(feats)
+    gb = jax.grad(lambda fs: loss(_roi_align_blend, fs))(feats)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def _build_model():
     backbone = ResNet(RESNET_CONFIGS["resnet_test"], dtype=jnp.float32,
                       features_only=True, name="backbone")

@@ -69,6 +69,63 @@ def _randomize_bn(model, seed=0):
                 m.bias.copy_(torch.randn(m.num_features, generator=g) * 0.1)
 
 
+def test_grouped_conv_dense_rewrite_parity():
+    """The block-diagonal dense rewrite (VITX_DENSE_GROUPS, the TPU
+    dispatch default) must reproduce grouped-conv outputs and kernel/input
+    grads exactly, and both must match torch's groups= semantics."""
+    import os
+
+    from vit_torch_tpu.models.layers import GroupedConv
+
+    G, cin, cout = 4, 16, 24
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 1, (2, 9, 9, cin)).astype(np.float32)
+    mod = GroupedConv(cout, (3, 3), strides=2, padding=1, groups=G,
+                      dtype=jnp.float32)
+    params = mod.init(jax.random.PRNGKey(1), jnp.asarray(x))
+
+    def run():
+        return mod.apply(params, jnp.asarray(x))
+
+    def loss(p):
+        return (mod.apply(p, jnp.asarray(x)) ** 2).sum()
+
+    os.environ["VITX_DENSE_GROUPS"] = "0"
+    try:
+        ref, gref = run(), jax.grad(loss)(params)
+    finally:
+        os.environ.pop("VITX_DENSE_GROUPS")
+    dense, gdense = run(), jax.grad(loss)(params)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(gdense["params"]["kernel"]),
+        np.asarray(gref["params"]["kernel"]), rtol=1e-5, atol=1e-5)
+
+    # partial regroup (m=2 of G=4) must also be exact
+    os.environ["VITX_DENSE_GROUPS"] = "2"
+    try:
+        part, gpart = run(), jax.grad(loss)(params)
+    finally:
+        os.environ.pop("VITX_DENSE_GROUPS")
+    np.testing.assert_allclose(np.asarray(part), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(gpart["params"]["kernel"]),
+        np.asarray(gref["params"]["kernel"]), rtol=1e-5, atol=1e-5)
+
+    # torch golden: same weights, NCHW
+    w = np.asarray(params["params"]["kernel"])          # (3,3,cin/G,cout)
+    tconv = nn.Conv2d(cin, cout, 3, stride=2, padding=1, groups=G,
+                      bias=False)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.from_numpy(w.transpose(3, 2, 0, 1)))
+        theirs = tconv(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(np.asarray(dense),
+                               theirs.transpose(0, 2, 3, 1),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_resnet_import_logits_parity():
     torch.manual_seed(0)
     tm = _TResNet().eval()

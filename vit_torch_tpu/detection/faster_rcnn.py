@@ -13,9 +13,9 @@ proposal lists, per-image NMS); on TPU everything here is **padded + masked**
 - RPN selects a fixed ``num_proposals`` via top-k → padded NMS;
 - anchor/proposal-to-gt matching and the 1:1 / 1:4 sampling use
   score+random top-k with validity masks instead of ragged index lists;
-- RoIAlign samples a 7×7 bilinear grid from every FPN level and selects by
-  the standard level-assignment formula (static compute, no gathers on
-  dynamic shapes).
+- RoIAlign assigns each RoI a level by the standard formula, then gathers
+  its 7×7 bilinear grid with flat indices into the concatenated pyramid
+  (static compute, no gathers on dynamic shapes).
 
 The whole train step — backbone, FPN, RPN, RoI heads, both losses — is one
 jitted XLA program (unlike DETR, no host-side Hungarian step is needed).
@@ -200,15 +200,8 @@ class RPNHead(nn.Module):
         return jnp.concatenate(logits, 1), jnp.concatenate(deltas, 1)
 
 
-def roi_align(feats: List[jnp.ndarray], boxes: jnp.ndarray,
-              strides: Tuple[int, ...], output_size: int = 7) -> jnp.ndarray:
-    """Multi-level RoIAlign: sample a (S, S) bilinear grid from every level,
-    select per-roi by the FPN level-assignment formula (static shapes).
-
-    feats: list of (B, Hl, Wl, C); boxes: (B, R, 4) xyxy in image coords.
-    Returns (B, R, S, S, C).
-    """
-    B, R, _ = boxes.shape
+def _roi_levels_and_grid(feats, boxes, output_size):
+    """Shared RoIAlign prologue: per-roi FPN level + image-coord grid."""
     S = output_size
     w = jnp.maximum(boxes[..., 2] - boxes[..., 0], 1.0)
     h = jnp.maximum(boxes[..., 3] - boxes[..., 1], 1.0)
@@ -220,6 +213,86 @@ def roi_align(feats: List[jnp.ndarray], boxes: jnp.ndarray,
     ys = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S          # (S,)
     grid_y = boxes[..., 1:2] + ys[None, None, :] * h[..., None]  # (B,R,S)
     grid_x = boxes[..., 0:1] + ys[None, None, :] * w[..., None]
+    return k, grid_y, grid_x
+
+
+def roi_align(feats: List[jnp.ndarray], boxes: jnp.ndarray,
+              strides: Tuple[int, ...], output_size: int = 7) -> jnp.ndarray:
+    """Multi-level RoIAlign (static shapes end to end).
+
+    feats: list of (B, Hl, Wl, C); boxes: (B, R, 4) xyxy in image coords.
+    Returns (B, R, S, S, C).
+
+    Two equivalent lowerings (identical values — each RoI reads exactly one
+    pyramid level either way):
+
+    - ``flat`` (default): concatenate the levels into one (B, ΣHlWl, C) map
+      and gather each bilinear corner with per-roi *flat* indices
+      ``level_offset[k] + y·Wl[k] + x`` — ONE gather per corner, no
+      (L, B, R, S, S, C) materialization.  Measured on-chip this removes
+      most of the 30.6% train-step share the blend variant cost
+      (``examples/perf/frcnn_step_decompose.json``).
+    - ``blend``: sample every level for every RoI and one-hot-sum — L× the
+      gather traffic; kept for A/B via ``VITX_ROI_FLAT=0``.
+    """
+    import os
+    if os.environ.get("VITX_ROI_FLAT", "1") != "0":
+        return _roi_align_flat(feats, boxes, strides, output_size)
+    return _roi_align_blend(feats, boxes, strides, output_size)
+
+
+def _roi_align_flat(feats: List[jnp.ndarray], boxes: jnp.ndarray,
+                    strides: Tuple[int, ...],
+                    output_size: int = 7) -> jnp.ndarray:
+    B, R, _ = boxes.shape
+    S = output_size
+    C = feats[0].shape[-1]
+    k, grid_y, grid_x = _roi_levels_and_grid(feats, boxes, output_size)
+    lvl = k.astype(jnp.int32)                                  # (B, R)
+
+    hs = np.array([f.shape[1] for f in feats], np.int32)
+    ws = np.array([f.shape[2] for f in feats], np.int32)
+    offs = np.concatenate([[0], np.cumsum(hs.astype(np.int64)
+                                          * ws)[:-1]]).astype(np.int32)
+    flat = jnp.concatenate([f.reshape(B, -1, C) for f in feats], axis=1)
+
+    stride_r = jnp.asarray(strides, jnp.float32)[lvl]          # (B, R)
+    Hl = jnp.asarray(hs)[lvl][..., None]                       # (B, R, 1)
+    Wl = jnp.asarray(ws)[lvl][..., None]
+    off = jnp.asarray(offs)[lvl][..., None, None]              # (B, R, 1, 1)
+
+    gy = grid_y / stride_r[..., None] - 0.5                    # (B, R, S)
+    gx = grid_x / stride_r[..., None] - 0.5
+    y0 = jnp.floor(gy)
+    x0 = jnp.floor(gx)
+    fy = gy - y0
+    fx = gx - x0
+
+    def gather(yi, xi):
+        yi = jnp.clip(yi.astype(jnp.int32), 0, Hl - 1)         # (B, R, S)
+        xi = jnp.clip(xi.astype(jnp.int32), 0, Wl - 1)
+        idx = off + yi[..., :, None] * Wl[..., None] + xi[..., None, :]
+        v = jnp.take_along_axis(flat, idx.reshape(B, R * S * S)[..., None],
+                                axis=1)
+        return v.reshape(B, R, S, S, C)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    # weights stay fp32 (matching the blend variant's promotion semantics)
+    wy = fy[..., :, None, None]
+    wx = fx[..., None, :, None]
+    return ((1 - wy) * (1 - wx) * v00 + (1 - wy) * wx * v01
+            + wy * (1 - wx) * v10 + wy * wx * v11)
+
+
+def _roi_align_blend(feats: List[jnp.ndarray], boxes: jnp.ndarray,
+                     strides: Tuple[int, ...],
+                     output_size: int = 7) -> jnp.ndarray:
+    B, R, _ = boxes.shape
+    S = output_size
+    k, grid_y, grid_x = _roi_levels_and_grid(feats, boxes, output_size)
 
     def sample_level(feat, stride):
         Hl, Wl = feat.shape[1], feat.shape[2]

@@ -203,12 +203,108 @@ def fold_conv_bn_eval(mdl: nn.Module, x: jax.Array, conv_name: str,
     a = (bnp["scale"].astype(jnp.float32)
          / jnp.sqrt(stats["var"].astype(jnp.float32) + eps))
     b = bnp["bias"].astype(jnp.float32) - stats["mean"].astype(jnp.float32) * a
+    folded = (kern.astype(jnp.float32) * a).astype(dtype)
+    m = dense_regroup_factor(groups, kern.shape[2])
+    if m > 1:
+        folded, groups = dense_group_kernel(folded, groups, m), groups // m
     y = jax.lax.conv_general_dilated(
-        x.astype(dtype), (kern.astype(jnp.float32) * a).astype(dtype),
+        x.astype(dtype), folded,
         window_strides=tuple(strides), padding=tuple(padding),
         feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return y + b.astype(dtype)
+
+
+def dense_regroup_factor(groups: int, cg: int) -> int:
+    """Regroup factor ``m`` for the block-diagonal dense lowering of a
+    grouped conv: ``m`` adjacent groups are merged into one dense block
+    (``m××`` the FLOPs at that site, ``m·cg``-wide contractions,
+    ``G/m`` XLA feature groups).  ``m == 1`` keeps XLA's native grouped
+    conv; ``m == G`` is one fully dense conv.
+
+    Measured on-chip (224px/bs32 finetune, `examples/perf/
+    resnext_ablation.json` + `dense_groups_ab.json`): XLA:TPU lowers a
+    32-group conv as 32 serial thin contractions — for resnext50_32x4d
+    (cg=4, a 4-lane sliver of the 128-wide MXU) the grouped 3×3s were
+    ~62% of the train step at 5.5% of the FLOPs, and full dense (m=32)
+    ran the whole step 1.54× faster despite 32× those FLOPs.  For
+    resnext101_32x8d (cg=8, 2× the arithmetic intensity and ~2× the
+    grouped FLOP share) full dense measured −13%: the blowup outweighs
+    the lane win, and the sweet spot is partial regrouping (see the m
+    sweep in ``dense_groups_ab.json``).
+
+    ``VITX_DENSE_GROUPS``: ``0`` disables, ``1``/unset picks the
+    measured auto table, an integer forces that factor."""
+    import os
+    if groups <= 1:
+        return 1
+    env = os.environ.get("VITX_DENSE_GROUPS", "1")
+    if env == "0":
+        return 1
+    if env != "1":
+        m = max(1, int(env))
+        while groups % m:
+            m -= 1
+        return m
+    # auto: measured table — narrow groups win big from full dense;
+    # at cg=8 partial regrouping to 32-wide contractions is the best
+    # measured point; ≥16-wide groups stay native
+    if cg <= 4:
+        return groups
+    if cg <= 8:
+        m = 4
+        return m if groups % m == 0 else 1
+    return 1
+
+
+def dense_group_kernel(kernel: jax.Array, groups: int,
+                       m: Optional[int] = None) -> jax.Array:
+    """Expand a grouped-conv HWIO kernel (kh, kw, cin/G, O) into the exact
+    block-diagonal kernel for ``G/m`` merged groups (kh, kw, m·cin/G, O):
+    within each supergroup of ``m`` original groups, output block j reads
+    input block k iff ``k == j`` and zeros elsewhere.  The expansion is a
+    linear scatter (einsum with I_m), so AD projects the dense-kernel
+    gradient back onto the diagonal blocks — training through it is
+    exactly grouped-conv training."""
+    kh, kw, cg, out = kernel.shape
+    if m is None:
+        m = groups
+    og = out // groups
+    w = kernel.reshape(kh, kw, cg, groups // m, m, og)
+    eye = jnp.eye(m, dtype=kernel.dtype)
+    wd = jnp.einsum("kj,hwcsjo->hwkcsjo", eye, w)
+    return wd.reshape(kh, kw, m * cg, out)
+
+
+class GroupedConv(nn.Module):
+    """Grouped 2-D conv with the same param tree as ``nn.Conv`` (one
+    ``kernel`` of shape (kh, kw, cin/G, O)) but dispatched through the
+    block-diagonal regrouped lowering — see ``dense_regroup_factor`` for
+    the measured rationale."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: int = 1
+    padding: int = 0
+    groups: int = 1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cg = x.shape[-1] // self.groups
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (*self.kernel_size, cg, self.features))
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        groups = self.groups
+        m = dense_regroup_factor(groups, cg)
+        if m > 1:
+            kernel = dense_group_kernel(kernel, groups, m)
+            groups = groups // m
+        return jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(self.strides,) * 2,
+            padding=((self.padding,) * 2,) * 2, feature_group_count=groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def _use_w8a8(deterministic: bool) -> bool:

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_torch_tpu.models.layers import (
-    Dtype, fold_conv_bn_eval, use_folded_bn,
+    Dtype, GroupedConv, fold_conv_bn_eval, use_folded_bn,
 )
 
 
@@ -101,9 +101,9 @@ class Bottleneck(nn.Module):
         y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
         y = nn.relu(bn("bn1")(y))
-        y = nn.Conv(width, (3, 3), strides=self.stride, padding=1,
-                    feature_group_count=self.groups, use_bias=False,
-                    dtype=self.dtype, name="conv2")(y)
+        y = GroupedConv(width, (3, 3), strides=self.stride, padding=1,
+                        groups=self.groups, dtype=self.dtype,
+                        name="conv2")(y)
         y = nn.relu(bn("bn2")(y))
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv3")(y)
