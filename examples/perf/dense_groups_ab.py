@@ -15,6 +15,13 @@ forces m (0 = native XLA grouped; an integer forces that factor, which
 
 Writes examples/perf/dense_groups_ab.json; the auto table in
 `dense_regroup_factor` must match the argmax rows of this artifact.
+
+Notes on artifact interpretation:
+- A forced uniform m applies to EVERY grouped-conv site, while the auto
+  table is per-cg; pass ``--ms auto`` to sweep the actual default (env
+  unset, per-cg table) so the artifact directly validates it.
+- resnext50_32x4d rows here cover only m=8/16/32; its m=1/32 endpoints
+  (native vs full dense) live in ``resnext_ablation.json``.
 """
 
 from __future__ import annotations
@@ -32,14 +39,17 @@ import bench  # noqa: E402
 SWEEP_M = (1, 2, 4, 8, 16, 32)
 
 
-def run_point(arch: str, bs: int, size: int, m: int,
+def run_point(arch: str, bs: int, size: int, m,
               lineareval: bool) -> dict:
     mode = "lineareval" if lineareval else "finetune"
     cfg = {"name": f"{arch} {mode} {size}px bs{bs} [m={m}]",
            "arch": arch, "image_size": size, "bs": bs,
            "lineareval": lineareval, "baseline_img_s": None}
     prev = os.environ.get("VITX_DENSE_GROUPS")
-    os.environ["VITX_DENSE_GROUPS"] = "0" if m == 1 else str(m)
+    if m == "auto":        # env unset → the shipped per-cg auto table
+        os.environ.pop("VITX_DENSE_GROUPS", None)
+    else:
+        os.environ["VITX_DENSE_GROUPS"] = "0" if m == 1 else str(m)
     try:
         out = bench.bench_config(cfg)
     finally:
@@ -62,7 +72,8 @@ def main() -> None:
     p.add_argument("--ms", default=None,
                    help="comma list of m values (default full sweep)")
     args = p.parse_args()
-    ms = ([int(x) for x in args.ms.split(",")] if args.ms else SWEEP_M)
+    ms = ([x if x == "auto" else int(x) for x in args.ms.split(",")]
+          if args.ms else SWEEP_M)
 
     out_fp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "dense_groups_ab.json")
@@ -74,8 +85,9 @@ def main() -> None:
         try:
             r = run_point(args.arch, args.bs, args.size, m, args.lineareval)
         except Exception as e:  # keep the sweep alive per-point
-            r = {"m": m, "arch": args.arch, "error":
-                 f"{type(e).__name__}: {e}"}
+            r = {"m": m, "arch": args.arch,
+                 "mode": "lineareval" if args.lineareval else "finetune",
+                 "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(r), flush=True)
         rows = [x for x in rows
                 if not (x.get("m") == m and x.get("arch") == args.arch

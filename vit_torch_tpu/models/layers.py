@@ -247,13 +247,16 @@ def dense_regroup_factor(groups: int, cg: int) -> int:
             m -= 1
         return m
     # auto: measured table — narrow groups win big from full dense;
-    # at cg=8 partial regrouping to 32-wide contractions is the best
-    # measured point; ≥16-wide groups stay native
+    # at cg=8 the sweep argmax is m=8 (64-wide contractions: 543.1 img/s
+    # vs 481.0 at m=4 / 449.8 at m=16 for resnext101_32x8d); ≥16-wide
+    # groups stay native
     if cg <= 4:
         return groups
     if cg <= 8:
-        m = 4
-        return m if groups % m == 0 else 1
+        for m in (8, 4, 2):
+            if groups % m == 0:
+                return m
+        return 1
     return 1
 
 
