@@ -85,10 +85,20 @@ def main() -> None:
         trainer.evaluate(val_loader, val_ds.coco, iou_types=iou_types,
                          label_to_cat=val_ds.label_to_cat)
         hot = time.time() - t0
+        prof = dict(getattr(trainer, "last_eval_profile", {}))
         record["runs"][name] = {
             "wall_s_cold": round(warm, 2), "wall_s_hot": round(hot, 2),
             "img_per_s_hot": round(args.images / hot, 1),
-            "metrics": {k: round(v["ap"], 4) for k, v in m.items()},
+            # phase decomposition of the hot run (PERF.md ledger):
+            # t_get = blocking D2H residue, t_host = per-image post-proc +
+            # evaluator update, t_final = COCO accumulate/summarize;
+            # wall - (t_get+t_host+t_final) ≈ overlapped device compute
+            "profile_s": {k: round(v, 2) for k, v in prof.items()
+                          if k != "images"},
+            # AP on untrained weights is meaningless — this artifact is a
+            # post-processing THROUGHPUT record only
+            "metrics_untrained_weights": {
+                k: round(v["ap"], 4) for k, v in m.items()},
         }
         print(f"{name}: cold {warm:.1f}s hot {hot:.1f}s "
               f"({args.images / hot:.1f} img/s)")

@@ -15,6 +15,7 @@ decoder losses are matched per-layer exactly like the reference criterion.
 from __future__ import annotations
 
 import sys
+import time
 from typing import Callable, Dict, Optional
 
 import jax
@@ -571,10 +572,18 @@ class DetectionTrainer:
             return img_id, update, pq_args
 
         mesh = getattr(self, "mesh", None)
+        # phase decomposition for the PERF.md eval-at-scale ledger:
+        # t_get = blocking D2H residue (past what copy_to_host_async hid),
+        # t_host = per-image post-processing + evaluator update,
+        # t_final = COCO accumulate/summarize after the loop
+        prof = {"t_get": 0.0, "t_host": 0.0, "t_final": 0.0, "images": 0}
+        self.last_eval_profile = prof
         with ThreadPoolExecutor(max_workers=8) as pool:
 
             def _drain(batch, preds_dev):
+                t0 = time.perf_counter()
                 preds = jax.device_get(preds_dev)
+                t1 = time.perf_counter()
                 todo = [(preds, batch, b)
                         for b in range(len(batch["image_id"]))
                         if batch["mask"][b] != 0]
@@ -584,6 +593,10 @@ class DetectionTrainer:
                     if pq_args is not None:
                         pq.update(*pq_args)
                     evaluator.update({img_id: update})
+                t2 = time.perf_counter()
+                prof["t_get"] += t1 - t0
+                prof["t_host"] += t2 - t1
+                prof["images"] += len(todo)
 
             # one-deep pipeline: enqueue batch i+1's predict (async JAX
             # dispatch) and start its D2H (copy_to_host_async) BEFORE the
@@ -603,9 +616,11 @@ class DetectionTrainer:
                 pending = (batch, preds_dev)
             if pending is not None:
                 _drain(*pending)
+        t0 = time.perf_counter()
         evaluator.synchronize_between_processes()
         evaluator.accumulate()
         out = evaluator.summarize()
+        prof["t_final"] = time.perf_counter() - t0
         if pq is not None:
             out["panoptic"] = {k: v for k, v in pq.summarize().items()
                                if k != "per_class"}
