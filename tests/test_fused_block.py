@@ -457,3 +457,93 @@ def test_window_block_head_split_grads():
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(r2), rtol=1e-3,
                                atol=1e-3)
+
+
+# --------------------------------------------------------------------------
+# window_block_full_spatial (full-block fusion: LN1+attn+res+LN2+MLP+res)
+# --------------------------------------------------------------------------
+
+def _swin_block_ab(C, HW, window, shift, heads, seed=0, grad=False):
+    """Run SwinBlock unfused vs full-block-fused from identical params;
+    returns (ref, fused) outputs (or gradient trees with grad=True)."""
+    import os
+    from vit_torch_tpu.models.swin import SwinBlock
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(0, 1, (2, HW, HW, C)), jnp.float32)
+    outs = []
+    envs = [
+        {"VITX_FUSED_FULL": "0", "VITX_FUSED_SPATIAL": "0",
+         "VITX_FUSED_BLOCK": "0", "VITX_FUSED_WINDOW": "0"},
+        {"VITX_FUSED_FULL": "1"},
+    ]
+    keys = ("VITX_FUSED_FULL", "VITX_FUSED_SPATIAL", "VITX_FUSED_BLOCK",
+            "VITX_FUSED_WINDOW")
+    saved = {k: os.environ.get(k) for k in keys}
+    try:
+        for env in envs:
+            for k in keys:
+                os.environ.pop(k, None)
+            os.environ.update(env)
+            blk = SwinBlock(num_heads=heads, window_size=window,
+                            shift_size=shift, dtype=jnp.float32)
+            v = blk.init(jax.random.PRNGKey(0), x)
+            if grad:
+                g = jax.grad(lambda p: (blk.apply({"params": p}, x, True)
+                                        ** 2).sum())(v["params"])
+                outs.append(g)
+            else:
+                outs.append(np.asarray(blk.apply(v, x, True)))
+    finally:
+        for k, val in saved.items():
+            if val is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = val
+    return outs
+
+
+@pytest.mark.parametrize("C,HW,window,shift,heads", [
+    (64, 8, 4, 0, 2),      # plain
+    (64, 8, 4, 2, 2),      # shifted (mask + roll inside-commute)
+    (96, 12, 4, 2, 2),     # non-lane-tile channels (lane-pad path)
+    (128, 14, 7, 3, 4),    # window-7 (N=49 sublane-pad) shifted
+])
+def test_full_block_matches_unfused(C, HW, window, shift, heads):
+    """The full-block kernel (LN1 + W-MSA + residual + LN2 + MLP +
+    residual in one program) must reproduce the unfused SwinBlock
+    composition bit-for-bit at fp32 tolerance, param tree unchanged."""
+    ref, out = _swin_block_ab(C, HW, window, shift, heads)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_full_block_grads_match_unfused():
+    """Custom-VJP backward (recompute through the XLA composition) must
+    match the unfused block's gradients for every param."""
+    gref, gout = _swin_block_ab(96, 12, 4, 2, 2, grad=True)
+    flat_r = jax.tree_util.tree_flatten_with_path(gref)[0]
+    flat_o = dict(jax.tree_util.tree_flatten_with_path(gout)[0])
+    assert set(flat_o) == {k for k, _ in flat_r}
+    for k, a in flat_r:
+        np.testing.assert_allclose(
+            np.asarray(flat_o[k]), np.asarray(a), rtol=5e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(k))
+
+
+def test_layer_norm_params_matches_flax_layernorm():
+    """The in-kernel LayerNorm replication (fp32 fast-variance stats,
+    flax op ordering) must match nn.LayerNorm(epsilon=1e-5) on bf16 and
+    fp32 inputs."""
+    import flax.linen as nn
+    from vit_torch_tpu.ops.window_block import _ln_rows_f32
+    rng = np.random.default_rng(0)
+    for dt in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.normal(0, 3, (64, 96)), dt)
+        scale = jnp.asarray(rng.normal(1, 0.2, (96,)), jnp.float32)
+        bias = jnp.asarray(rng.normal(0, 0.2, (96,)), jnp.float32)
+        ln = nn.LayerNorm(epsilon=1e-5, dtype=dt)
+        ref = ln.apply({"params": {"scale": scale, "bias": bias}}, x)
+        out = _ln_rows_f32(x.astype(jnp.float32), scale.reshape(1, -1),
+                           bias.reshape(1, -1)).astype(dt)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=1e-5, atol=1e-5)

@@ -83,6 +83,24 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+class LayerNormParams(nn.Module):
+    """Parameter holder with ``nn.LayerNorm``'s exact tree layout
+    (``<name>/scale`` + ``<name>/bias``, fp32, ones/zeros init), returning
+    the raw arrays.  Used by the fully-fused Swin block path
+    (``ops/window_block.py:window_block_full_spatial``), which computes
+    flax-ordered LayerNorm inside the kernel; the unfused branch keeps
+    calling ``nn.LayerNorm`` — both create the identical param tree, so
+    checkpoints interchange across dispatch modes."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones,
+                           (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (features,), jnp.float32)
+        return scale, bias
+
+
 class QDense(nn.Module):
     """``nn.Dense`` drop-in (identical ``kernel``/``bias`` param tree and
     init defaults) that routes through the dynamic-int8 matmul
@@ -348,11 +366,15 @@ class Mlp(nn.Module):
     act: Callable = gelu_exact
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True,
+                 params_only: bool = False):
         C = x.shape[-1]
         out_dim = self.out_dim or C
         w1, b1 = DenseParams(self.hidden_dim, name="fc1")(C)
         w2, b2 = DenseParams(out_dim, name="fc2")(self.hidden_dim)
+        if params_only:
+            # fused full-block path consumes the weights directly
+            return w1, b1, w2, b2
         dt = self.dtype
         T = 1
         for d in x.shape[:-1]:

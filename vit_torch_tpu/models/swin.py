@@ -35,7 +35,8 @@ import numpy as np
 from flax import linen as nn
 
 from vit_torch_tpu.models.layers import (
-    DenseParams, Dtype, DropPath, LayerNorm, Mlp, trunc_normal_init,
+    DenseParams, Dtype, DropPath, LayerNorm, LayerNormParams, Mlp,
+    trunc_normal_init,
 )
 from vit_torch_tpu.ops.attention import dot_product_attention
 
@@ -185,6 +186,41 @@ def _use_fused_block_spatial(B: int, Hp: int, Wp: int, w: int, C: int,
     return fits_spatial(Hp, Wp, w, C, H, mask is not None)
 
 
+def _use_fused_block_full(H: int, W: int, w: int, C: int, heads: int,
+                          shift: int, pad_needed: bool,
+                          drop_path_rate: float, deterministic: bool,
+                          hidden: int) -> bool:
+    """Dispatch to the full-block fused kernel (LN1 + W-MSA + residual +
+    LN2 + MLP + residual in one program —
+    ``ops/window_block.py:window_block_full_spatial``).
+
+    Falls back when: spatial padding is needed (LN does not commute with
+    zero-padding), DropPath is active (the residuals are fused inside),
+    the W8A8 serving path is on (the MLP must route through QDense-style
+    int8 matmuls), or the working set exceeds VMEM (stage-4 C ≥ 1024).
+    VITX_FUSED_FULL=1 forces on (CPU interpret, tests), =0 off; default
+    TPU-only.  VITX_FUSED_WINDOW=0 / VITX_FUSED_BLOCK=0 also disable."""
+    import os
+    if os.environ.get("VITX_FUSED_WINDOW", "") == "0":
+        return False
+    if os.environ.get("VITX_FUSED_BLOCK", "") == "0":
+        return False
+    flag = os.environ.get("VITX_FUSED_FULL", "")
+    if flag == "0":
+        return False
+    if flag != "1" and jax.default_backend() != "tpu":
+        return False
+    if pad_needed:
+        return False
+    if drop_path_rate > 0.0 and not deterministic:
+        return False
+    from vit_torch_tpu.models.layers import _use_w8a8
+    if _use_w8a8(deterministic):
+        return False
+    from vit_torch_tpu.ops.window_block import fits_spatial_full
+    return fits_spatial_full(H, W, w, C, heads, shift > 0, hidden)
+
+
 def _use_fused_block(Bn: int, N: int, C: int, H: int, mask) -> bool:
     """Dispatch to the fully-fused qkv+attention+proj window-block kernel
     (``ops/window_block.py``).  VITX_FUSED_BLOCK=1 forces it on (CPU
@@ -215,7 +251,8 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None,
-                 deterministic: bool = True, spatial: bool = False):
+                 deterministic: bool = True, spatial: bool = False,
+                 params_only: bool = False):
         w, H = self.window_size, self.num_heads
         C = x.shape[-1]
         N = w * w
@@ -230,6 +267,12 @@ class WindowAttention(nn.Module):
         w_qkv, b_qkv = DenseParams(3 * C, self.qkv_bias, name="qkv")(C)
         w_proj, b_proj = DenseParams(C, name="proj")(C)
         dt = self.dtype
+        if params_only:
+            # fused full-block path consumes the attention weights (and the
+            # gathered bias — keeping the table gradient a JAX scatter-add)
+            return (bias, w_qkv.astype(dt),
+                    None if b_qkv is None else b_qkv.astype(dt),
+                    w_proj.astype(dt), b_proj.astype(dt), scale)
         if spatial:
             # x is the padded (B, Hp, Wp, C) map: the band-gather kernel
             # folds partition/reverse into its DMA (caller checked
@@ -294,6 +337,41 @@ class SwinBlock(nn.Module):
         shift = self.shift_size if w < min(H, W) else 0
         if min(H, W) <= self.window_size:
             shift = 0  # window covers the whole map (reference :205-207)
+        pad_needed = bool((-H) % w or (-W) % w)
+        hidden = int(C * self.mlp_ratio)
+        attn = WindowAttention(self.num_heads, w, self.qkv_bias,
+                               dtype=self.dtype, name="attn")
+        mlp = Mlp(hidden, dtype=self.dtype, name="mlp")
+        if _use_fused_block_full(H, W, w, C, self.num_heads, shift,
+                                 pad_needed, self.drop_path_rate,
+                                 deterministic, hidden):
+            # whole block in ONE pallas program per window band: LN1 +
+            # W-MSA + residual + LN2 + MLP + residual never leave VMEM
+            # (PERF.md swin_tiny ledger: the inter-op map round-trips are
+            # the remaining e2e-vs-shape-bound gap).  Param tree unchanged:
+            # LayerNormParams/params_only create the same leaves the
+            # unfused modules do.
+            from vit_torch_tpu.ops.window_block import (
+                window_block_full_spatial)
+            ln1s, ln1b = LayerNormParams(name="norm1")(C)
+            ln2s, ln2b = LayerNormParams(name="norm2")(C)
+            bias, w_qkv, b_qkv, w_proj, b_proj, scale = attn(
+                x, params_only=True)
+            w1, b1, w2, b2 = mlp(x, params_only=True)
+            dt = self.dtype
+            y = x
+            if shift:
+                y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+                fmask = jnp.asarray(shifted_window_mask(H, W, w, shift))
+            else:
+                fmask = None
+            y = window_block_full_spatial(
+                y, ln1s, ln1b, w_qkv, b_qkv, bias, fmask, w_proj, b_proj,
+                ln2s, ln2b, w1.astype(dt), b1, w2.astype(dt), b2,
+                num_heads=self.num_heads, window=w, scale=scale)
+            if shift:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            return y
 
         y = LayerNorm(dtype=self.dtype, name="norm1")(x)
         pad_b, pad_r = (-H) % w, (-W) % w
@@ -305,8 +383,6 @@ class SwinBlock(nn.Module):
             mask = jnp.asarray(shifted_window_mask(Hp, Wp, w, shift))
         else:
             mask = None
-        attn = WindowAttention(self.num_heads, w, self.qkv_bias,
-                               dtype=self.dtype, name="attn")
         if _use_fused_block_spatial(B, Hp, Wp, w, C, self.num_heads, mask):
             # band-gather kernel consumes the spatial map directly — no
             # partition/reverse HBM transposes (12.6% of e2e, see PERF.md)
@@ -322,8 +398,7 @@ class SwinBlock(nn.Module):
         x = x + DropPath(self.drop_path_rate)(y, deterministic)
 
         y = LayerNorm(dtype=self.dtype, name="norm2")(x)
-        y = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(
-            y, deterministic)
+        y = mlp(y, deterministic)
         x = x + DropPath(self.drop_path_rate)(y, deterministic)
         return x
 

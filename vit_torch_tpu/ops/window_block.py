@@ -595,6 +595,296 @@ def fits_spatial(Hp: int, Wp: int, window: int, C: int,
     return wbw > 0
 
 
+# --------------------------------------------------------------------------
+# full-block spatial variant: LN1 + attention + residual + LN2 + MLP +
+# residual in ONE program
+# --------------------------------------------------------------------------
+#
+# The band-gather kernel above removed the partition/reverse transposes, but
+# the rest of the Swin block still round-trips the full (B, Hp, Wp, C) map
+# through HBM six more times per block: LN1 read/write, residual add, LN2
+# read/write, fc1 read + (4C-wide!) hidden write, fc2 read/write, second
+# residual.  At swin_tiny's stage-1 shapes (56×56×96) each pass is ~HBM
+# bound and the MFU ledger (PERF.md "why swin_tiny sits at ~12%") attributes
+# the remaining e2e-vs-shape-bound gap exactly to these inter-op trips.
+# This variant reads the RAW map band once, computes LN1 → windowed
+# attention → residual → LN2 → MLP → residual entirely in VMEM, and writes
+# the block output once.  LayerNorm numerics replicate flax
+# (fp32 fast-variance stats, fp32 scale/bias, one cast back); matmul
+# rounding mirrors the XLA path (fp32 accumulation, cast to the compute
+# dtype between ops).
+#
+# Shift commutes: every non-attention op here is pixel-wise, so callers
+# roll the RAW map before the kernel and unroll after — identical to
+# rolling the normed map (the mask is built for the rolled layout either
+# way).  Spatial padding does NOT commute (LN of a zero-padded row differs
+# from zero-padding the LN output), so callers must fall back when the map
+# needs padding — every published config at its native resolution is
+# unpadded.  DropPath must be inactive (rate 0 or deterministic): the
+# residuals are fused inside.
+#
+# Weights for qkv+proj+fc1+fc2 total 12C² — VMEM-resident through C=512;
+# stage-4 shapes (C ≥ 1024) fall back to the attention-only band kernel
+# (where the MLP matmuls are fat enough for XLA anyway).
+
+
+def _ln_rows_f32(x32, scale_ref, bias_ref, eps: float = 1e-5):
+    """flax LayerNorm over the last axis of fp32 (T, C) rows: fast-variance
+    fp32 stats, fp32 scale/bias, caller casts the result."""
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu, 0.0)
+    y = x32 - mu
+    mul = jax.lax.rsqrt(var + eps) * scale_ref[...].astype(jnp.float32)
+    return y * mul + bias_ref[...].astype(jnp.float32)
+
+
+def _gelu_f32(x32):
+    """Exact erf GELU on fp32 rows (matches ``models.layers.gelu_exact``,
+    which upcasts to fp32, applies 0.5·x·(1+erf(x/√2)) and casts back)."""
+    return 0.5 * x32 * (1.0 + jax.lax.erf(x32 * 0.7071067811865476))
+
+
+def _fwd_kernel_spatial_full(*refs, num_heads: int, scale: float,
+                             has_mask: bool, window: int, wbw: int):
+    if has_mask:
+        (x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, mask_ref,
+         wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
+         b2_ref, o_ref) = refs
+    else:
+        (x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref,
+         wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
+         b2_ref, o_ref) = refs
+    w = window
+    N = w * w
+    NP = _pad_sublane(N)
+    C = x_ref.shape[-1]
+    CL = _pad_lane(C)
+    dt = x_ref.dtype
+    xb = x_ref[0]                                   # (w, WBw·w, C) RAW
+    if CL != C:
+        xb = jnp.pad(xb, ((0, 0), (0, 0), (0, CL - C)))
+    pieces = []
+    for j in range(wbw):
+        xw = xb[:, j * w:(j + 1) * w, :].reshape(N, CL)
+        if NP != N:
+            xw = jnp.pad(xw, ((0, NP - N), (0, 0)))
+        pieces.append(xw)
+    x = jnp.concatenate(pieces, axis=0)             # (WBw·NP, CL)
+    if CL != C:
+        x = x[:, :C]
+    # LN1 → attention core → residual (residual adds in the compute dtype,
+    # matching the model's x + attn_out bf16 add)
+    t = _ln_rows_f32(x.astype(jnp.float32), ln1s_ref, ln1b_ref).astype(dt)
+    mask = mask_ref[...].astype(jnp.float32) if has_mask else None
+    attn = _block_compute(t, wqkv_ref, bqkv_ref, bias_ref, mask, wproj_ref,
+                          bproj_ref, WB=wbw, N=NP, num_heads=num_heads,
+                          scale=scale, kv_len=N)
+    h = x + attn.astype(dt)                         # (WBw·NP, C)
+    # LN2 → fc1 → GELU → fc2 → residual, XLA-path rounding (cast to the
+    # compute dtype after each fp32-accumulated matmul)
+    u = _ln_rows_f32(h.astype(jnp.float32), ln2s_ref, ln2b_ref).astype(dt)
+    hid = jax.lax.dot(u, w1_ref[...], preferred_element_type=jnp.float32)
+    hid = hid.astype(dt) + b1_ref[...].astype(dt)
+    g = _gelu_f32(hid.astype(jnp.float32)).astype(dt)
+    m = jax.lax.dot(g, w2_ref[...], preferred_element_type=jnp.float32)
+    m = m.astype(dt) + b2_ref[...].astype(dt)
+    out = (h + m).astype(o_ref.dtype)
+    if CL != C:
+        out = jnp.pad(out, ((0, 0), (0, CL - C)))
+    for j in range(wbw):
+        win = out[j * NP:j * NP + N].reshape(w, w, CL)
+        o_ref[0, :, j * w:(j + 1) * w, :] = win[:, :, :C]
+
+
+def _fwd_impl_spatial_full(x, ln1s, ln1b, w_qkv, b_qkv, bias, mask, w_proj,
+                           b_proj, ln2s, ln2b, w1, b1, w2, b2, num_heads,
+                           scale, wbw, window):
+    B, Hp, Wp, C = x.shape
+    w = window
+    nH, nWc = Hp // w, Wp // w
+    has_mask = mask is not None
+    N = w * w
+    NP = _pad_sublane(N)
+    if NP != N:
+        bias = jnp.pad(bias, ((0, 0), (0, NP - N), (0, NP - N)))
+        if has_mask:
+            mask = jnp.pad(mask, ((0, 0), (0, NP - N), (0, NP - N)))
+    H = num_heads
+    hidden = w1.shape[1]
+    nWb = nWc // wbw
+    grid = (B, nH, nWb)
+    xspec = pl.BlockSpec((1, w, wbw * w, C), lambda b, h, j: (b, h, j, 0))
+    const2 = lambda b, h, j: (0, 0)                          # noqa: E731
+    in_specs = [
+        xspec,
+        pl.BlockSpec((1, C), const2),                        # ln1 scale
+        pl.BlockSpec((1, C), const2),                        # ln1 bias
+        pl.BlockSpec((C, 3 * C), const2),
+        pl.BlockSpec((1, 3 * C), const2),
+        pl.BlockSpec((H, NP, NP), lambda b, h, j: (0, 0, 0)),
+    ]
+    args = [x, ln1s.reshape(1, C), ln1b.reshape(1, C), w_qkv, b_qkv, bias]
+    if has_mask:
+        in_specs.append(pl.BlockSpec(
+            (wbw, NP, NP), lambda b, h, j, nWb=nWb: (h * nWb + j, 0, 0)))
+        args.append(mask)
+    in_specs.extend([
+        pl.BlockSpec((C, C), const2),
+        pl.BlockSpec((1, C), const2),
+        pl.BlockSpec((1, C), const2),                        # ln2 scale
+        pl.BlockSpec((1, C), const2),                        # ln2 bias
+        pl.BlockSpec((C, hidden), const2),
+        pl.BlockSpec((1, hidden), const2),
+        pl.BlockSpec((hidden, C), const2),
+        pl.BlockSpec((1, C), const2),
+    ])
+    args.extend([w_proj, b_proj, ln2s.reshape(1, C), ln2b.reshape(1, C),
+                 w1, b1.reshape(1, hidden), w2, b2.reshape(1, C)])
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_spatial_full, num_heads=num_heads,
+                          scale=scale, has_mask=has_mask, window=window,
+                          wbw=wbw),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=xspec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=_interpret(),
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18))
+def _window_block_spatial_full(x, ln1s, ln1b, w_qkv, b_qkv, bias, mask,
+                               w_proj, b_proj, ln2s, ln2b, w1, b1, w2, b2,
+                               num_heads, scale, wbw, window):
+    return _fwd_impl_spatial_full(x, ln1s, ln1b, w_qkv, b_qkv, bias, mask,
+                                  w_proj, b_proj, ln2s, ln2b, w1, b1, w2,
+                                  b2, num_heads, scale, wbw, window)
+
+
+def _wbsf_fwd(x, ln1s, ln1b, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
+              ln2s, ln2b, w1, b1, w2, b2, num_heads, scale, wbw, window):
+    out = _fwd_impl_spatial_full(x, ln1s, ln1b, w_qkv, b_qkv, bias, mask,
+                                 w_proj, b_proj, ln2s, ln2b, w1, b1, w2,
+                                 b2, num_heads, scale, wbw, window)
+    return out, (x, ln1s, ln1b, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
+                 ln2s, ln2b, w1, b1, w2, b2)
+
+
+def _ln_map_f32(x, scale, bias):
+    """flax-ordered LayerNorm over the last axis of a (B, H, W, C) map."""
+    x32 = x.astype(jnp.float32)
+    y = _ln_rows_f32(x32, scale.reshape(1, -1), bias.reshape(1, -1))
+    return y.astype(x.dtype)
+
+
+def _wbsf_bwd(num_heads, scale, wbw, window, res, do):
+    # recompute through the unfused XLA composition (LN1 → partition →
+    # window_attention kernel → reverse → residual → LN2 → MLP → residual);
+    # the fused forward is a pure-fwd optimization, exactly like the other
+    # window kernels in this file
+    (x, ln1s, ln1b, w_qkv, b_qkv, bias, mask, w_proj, b_proj, ln2s, ln2b,
+     w1, b1, w2, b2) = res
+    _, Hp, Wp, _ = x.shape
+    from vit_torch_tpu.models.swin import window_partition, window_reverse
+
+    def fwd(x, ln1s, ln1b, w_qkv, b_qkv, bias, w_proj, b_proj, ln2s, ln2b,
+            w1, b1, w2, b2):
+        dt = x.dtype
+        t = _ln_map_f32(x, ln1s, ln1b)
+        wins = window_partition(t, window)
+        a = _ref_forward(wins, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
+                         num_heads, scale)
+        h = x + window_reverse(a, window, Hp, Wp).astype(dt)
+        u = _ln_map_f32(h, ln2s, ln2b)
+        hid = jnp.dot(u, w1).astype(dt) + b1.astype(dt)
+        g32 = _gelu_f32(hid.astype(jnp.float32)).astype(dt)
+        m = jnp.dot(g32, w2).astype(dt) + b2.astype(dt)
+        return h + m
+
+    _, vjp = jax.vjp(fwd, x, ln1s, ln1b, w_qkv, b_qkv, bias, w_proj,
+                     b_proj, ln2s, ln2b, w1, b1, w2, b2)
+    (dx, dln1s, dln1b, dw_qkv, db_qkv, dbias, dw_proj, db_proj, dln2s,
+     dln2b, dw1, db1, dw2, db2) = vjp(do)
+    return (dx, dln1s, dln1b, dw_qkv, db_qkv, dbias, None, dw_proj,
+            db_proj, dln2s, dln2b, dw1, db1, dw2, db2)
+
+
+_window_block_spatial_full.defvjp(_wbsf_fwd, _wbsf_bwd)
+
+
+def window_block_full_spatial(x: jax.Array, ln1_scale, ln1_bias,
+                              w_qkv, b_qkv, bias, mask, w_proj, b_proj,
+                              ln2_scale, ln2_bias, w_fc1, b_fc1, w_fc2,
+                              b_fc2, *, num_heads: int, window: int,
+                              scale: Optional[float] = None) -> jax.Array:
+    """Entire Swin block (LN1 → W-MSA → +residual → LN2 → MLP → +residual)
+    over the **unpadded** spatial map (B, H, W, C), one pallas program per
+    window band.  Shifted blocks: roll the raw map before, unroll after
+    (pixel-wise ops commute with roll).  Call :func:`fits_spatial_full`
+    first; requires DropPath/Dropout inactive (residuals are fused)."""
+    B, Hp, Wp, C = x.shape
+    w = window
+    if scale is None:
+        scale = (C // num_heads) ** -0.5
+    wbw = pick_config_full(Wp // w, _pad_sublane(w * w), C, num_heads,
+                           mask is not None, w_fc1.shape[1])
+    if wbw == 0:
+        raise ValueError("window_block_full_spatial working set exceeds "
+                         "VMEM; check fits_spatial_full() first")
+    dt = x.dtype
+    if b_qkv is None:
+        b_qkv = jnp.zeros((3 * C,), dt)
+    if b_proj is None:
+        b_proj = jnp.zeros((C,), dt)
+    return _window_block_spatial_full(
+        x, ln1_scale, ln1_bias, w_qkv, b_qkv.reshape(1, 3 * C), bias, mask,
+        w_proj, b_proj.reshape(1, C), ln2_scale, ln2_bias, w_fc1, b_fc1,
+        w_fc2, b_fc2, num_heads, float(scale), wbw, w)
+
+
+def pick_config_full(nWc: int, N: int, C: int, H: int, has_mask: bool,
+                     hidden: int) -> int:
+    """WBw for the full-block variant (no head-split mode — stage-4 C
+    exceeds the weight budget and falls back to the band kernel).  The
+    activation budget shrinks by the MLP hidden's footprint (hidden/C ≈ 4×
+    the band width on top of the attention working set)."""
+    act_budget = _ACT_ELEMS_MASKED if has_mask else _ACT_ELEMS_NOMASK
+    act_budget = act_budget * C // (C + hidden)     # hidden rides along
+    if N * C > act_budget:
+        return 0
+    wbw = min(nWc, act_budget // (N * C))
+    while wbw >= 1:
+        if nWc % wbw == 0 and \
+                _static_bytes_full(wbw, N, C, H, has_mask,
+                                   hidden) <= _STATIC_BUDGET:
+            return wbw
+        wbw -= 1
+    return 0
+
+
+def _static_bytes_full(wb: int, N: int, C: int, H: int, has_mask: bool,
+                       hidden: int) -> int:
+    base = _static_bytes(wb, N, C, H, has_mask)
+    mlp = (C * _pad_lane(hidden) + hidden * _pad_lane(C)) * 2
+    vecs = (6 * C + hidden) * 4
+    return base + mlp + vecs
+
+
+def fits_spatial_full(Hp: int, Wp: int, window: int, C: int,
+                      num_heads: int, has_mask: bool, hidden: int) -> bool:
+    """True when the full-block spatial kernel can run at these shapes."""
+    w = window
+    if C % num_heads or C % 32:
+        return False
+    if Hp % w or Wp % w or Hp // w < 1 or Wp // w < 1:
+        return False
+    return pick_config_full(Wp // w, _pad_sublane(w * w), C, num_heads,
+                            has_mask, hidden) > 0
+
+
 def fits(Bn: int, N: int, C: int, num_heads: int, nW: Optional[int]) -> bool:
     """True when the fused window-block kernel can run at these shapes
     (unaligned N is lane-padded by :func:`window_block`)."""
