@@ -552,7 +552,7 @@ def window_block_spatial(y: jax.Array, w_qkv: jax.Array,
         scale = (C // num_heads) ** -0.5
     nWc = Wp // w
     wbw, groups = pick_config_spatial(nWc, _pad_sublane(w * w), C,
-                                      num_heads, mask is not None)
+                                      num_heads, mask is not None, w)
     if wbw == 0:
         raise ValueError("window_block_spatial working set exceeds VMEM; "
                          "check fits_spatial() before dispatching")
@@ -565,9 +565,14 @@ def window_block_spatial(y: jax.Array, w_qkv: jax.Array,
                                  num_heads, float(scale), wbw, w, groups)
 
 
-def pick_config_spatial(nWc: int, N: int, C: int, H: int, has_mask: bool):
+def pick_config_spatial(nWc: int, N: int, C: int, H: int, has_mask: bool,
+                        window: Optional[int] = None):
     """(wbw, groups) for the spatial variant: WBw consecutive same-row
-    windows per program, so wbw must divide the per-row window count."""
+    windows per program, so wbw must divide the per-row window count.
+    With ``window`` given, also enforce Mosaic's block-shape rule on the
+    x-block's second-minor dim: wbw·window must be a multiple of 8 or the
+    full row (wbw == nWc) — historical picks all landed on full rows, so
+    this was latent until the full-block variant's tighter budgets."""
     for groups in (1, 2, 4, 8):
         if H % groups:
             continue
@@ -575,6 +580,11 @@ def pick_config_spatial(nWc: int, N: int, C: int, H: int, has_mask: bool):
         if ca % (H // groups) or ca % 32:
             continue
         wbw = pick_window_block(nWc, nWc, N, C, H, has_mask, groups)
+        if window is not None:
+            while wbw >= 1 and not (nWc % wbw == 0 and
+                                    ((wbw * window) % 8 == 0
+                                     or wbw == nWc)):
+                wbw -= 1
         if wbw:
             return wbw, groups
     return 0, 0
@@ -591,7 +601,7 @@ def fits_spatial(Hp: int, Wp: int, window: int, C: int,
     if Hp % w or Wp % w or Hp // w < 1 or Wp // w < 1:
         return False
     wbw, _ = pick_config_spatial(Wp // w, _pad_sublane(w * w), C,
-                                 num_heads, has_mask)
+                                 num_heads, has_mask, w)
     return wbw > 0
 
 
@@ -640,9 +650,14 @@ def _ln_rows_f32(x32, scale_ref, bias_ref, eps: float = 1e-5):
 
 
 def _gelu_f32(x32):
-    """Exact erf GELU on fp32 rows (matches ``models.layers.gelu_exact``,
-    which upcasts to fp32, applies 0.5·x·(1+erf(x/√2)) and casts back)."""
-    return 0.5 * x32 * (1.0 + jax.lax.erf(x32 * 0.7071067811865476))
+    """Exact-GELU on fp32 rows (matches ``models.layers.gelu_exact``,
+    which upcasts to fp32, applies 0.5·x·(1+erf(x/√2)) and casts back).
+    Mosaic has no erf lowering (``jax.lax.erf`` in-kernel raises
+    "Unimplemented primitive ... erf" — caught by the round-4 on-chip
+    bench), so this uses ``fused_mlp._erf``'s A&S 7.1.26 polynomial
+    (|err| ≤ 1.5e-7, below bf16 resolution)."""
+    from vit_torch_tpu.ops.fused_mlp import _erf
+    return 0.5 * x32 * (1.0 + _erf(x32 * 0.7071067811865476))
 
 
 def _fwd_kernel_spatial_full(*refs, num_heads: int, scale: float,
@@ -830,7 +845,7 @@ def window_block_full_spatial(x: jax.Array, ln1_scale, ln1_bias,
     if scale is None:
         scale = (C // num_heads) ** -0.5
     wbw = pick_config_full(Wp // w, _pad_sublane(w * w), C, num_heads,
-                           mask is not None, w_fc1.shape[1])
+                           mask is not None, w_fc1.shape[1], w)
     if wbw == 0:
         raise ValueError("window_block_full_spatial working set exceeds "
                          "VMEM; check fits_spatial_full() first")
@@ -846,18 +861,30 @@ def window_block_full_spatial(x: jax.Array, ln1_scale, ln1_bias,
 
 
 def pick_config_full(nWc: int, N: int, C: int, H: int, has_mask: bool,
-                     hidden: int) -> int:
+                     hidden: int, window: int) -> int:
     """WBw for the full-block variant (no head-split mode — stage-4 C
-    exceeds the weight budget and falls back to the band kernel).  The
-    activation budget shrinks by the MLP hidden's footprint (hidden/C ≈ 4×
-    the band width on top of the attention working set)."""
-    act_budget = _ACT_ELEMS_MASKED if has_mask else _ACT_ELEMS_NOMASK
-    act_budget = act_budget * C // (C + hidden)     # hidden rides along
+    exceeds the weight budget and falls back to the band kernel).
+
+    Constraints beyond the attention-only picker:
+    - Mosaic requires the x-block's second-minor dim (wbw·window) to be a
+      multiple of 8 OR the full row (wbw == nWc) — caught live on-chip
+      (window 12, wbw 1 → "block shape ... divisible by 8");
+    - the activation budget halves (~2×) for the in-VMEM residuals + the
+      4C-wide MLP hidden (``VITX_FULL_ACT`` overrides the element budget
+      for on-chip calibration)."""
+    import os
+    env = os.environ.get("VITX_FULL_ACT", "")
+    if env:
+        act_budget = int(env)
+    else:
+        act_budget = (_ACT_ELEMS_MASKED if has_mask
+                      else _ACT_ELEMS_NOMASK) // 3
     if N * C > act_budget:
         return 0
     wbw = min(nWc, act_budget // (N * C))
     while wbw >= 1:
         if nWc % wbw == 0 and \
+                ((wbw * window) % 8 == 0 or wbw == nWc) and \
                 _static_bytes_full(wbw, N, C, H, has_mask,
                                    hidden) <= _STATIC_BUDGET:
             return wbw
@@ -882,7 +909,7 @@ def fits_spatial_full(Hp: int, Wp: int, window: int, C: int,
     if Hp % w or Wp % w or Hp // w < 1 or Wp // w < 1:
         return False
     return pick_config_full(Wp // w, _pad_sublane(w * w), C, num_heads,
-                            has_mask, hidden) > 0
+                            has_mask, hidden, w) > 0
 
 
 def fits(Bn: int, N: int, C: int, num_heads: int, nW: Optional[int]) -> bool:
