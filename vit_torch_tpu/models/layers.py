@@ -403,19 +403,33 @@ class Mlp(nn.Module):
 
 def _attn_fused_block(x, num_heads: int) -> bool:
     """Dispatch to the fully-fused qkv+attention+proj kernel
-    (``ops/attn_block.py``).  OPT-IN only (VITX_FUSED_ATTN=1): measured
-    e2e-neutral on v5e at the headline shape (537 vs 541 img/s) — the
-    per-batch-element serialized program forfeits the cross-program matmul
-    pipelining that XLA's fat qkv/proj matmuls get, cancelling the HBM
-    savings (PERF.md)."""
+    (``ops/attn_block.py``).
+
+    Measured crossover (round-4 on-chip A/B, PERF.md fused-attn ledger):
+    at flash-served lengths the per-batch-element serialized program
+    forfeits XLA's cross-program matmul pipelining and LOSES (vitb8 bs32
+    neutral, bs64 −10%), but in the short-sequence regime the flash
+    kernel skips (N=197 < VITX_FLASH_MIN_SEQ) the XLA chain degrades
+    badly at large batch (VMEM residency lost) while this kernel scales:
+    dino_vits16 bs64 +28% (6649→8491 img/s), bs128 **+80%** (4663→8393).
+    Default: TPU, B ≥ 64, and only where the flash path would NOT take
+    the shape.  VITX_FUSED_ATTN=1 forces on, =0 off."""
     import os
-    if os.environ.get("VITX_FUSED_ATTN", "") != "1":
+    flag = os.environ.get("VITX_FUSED_ATTN", "")
+    if flag == "0":
         return False
-    from vit_torch_tpu.ops.attention import _active_seq_mesh
+    from vit_torch_tpu.ops.attention import (
+        _active_seq_mesh, flash_profitable)
     if _active_seq_mesh() is not None:
         return False                    # seq-sharded: ring attention path
     from vit_torch_tpu.ops.attn_block import fits
-    return fits(x.shape[1], x.shape[2], num_heads)
+    B, N, C = x.shape
+    if not fits(N, C, num_heads):
+        return False
+    if flag == "1":
+        return True
+    return (jax.default_backend() == "tpu" and B >= 64
+            and not flash_profitable(N, num_heads, C // num_heads))
 
 
 def _attn_bhnd_layout(x, num_heads: int) -> bool:
