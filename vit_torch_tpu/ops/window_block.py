@@ -886,7 +886,7 @@ def pick_config_full(nWc: int, N: int, C: int, H: int, has_mask: bool,
         if nWc % wbw == 0 and \
                 ((wbw * window) % 8 == 0 or wbw == nWc) and \
                 _static_bytes_full(wbw, N, C, H, has_mask,
-                                   hidden) <= _STATIC_BUDGET:
+                                   hidden) <= _full_static_budget():
             return wbw
         wbw -= 1
     return 0
@@ -898,6 +898,15 @@ def _static_bytes_full(wb: int, N: int, C: int, H: int, has_mask: bool,
     mlp = (C * _pad_lane(hidden) + hidden * _pad_lane(C)) * 2
     vecs = (6 * C + hidden) * 4
     return base + mlp + vecs
+
+
+def _full_static_budget() -> int:
+    """VMEM-resident-constant budget for the full-block variant.
+    ``VITX_FULL_STATIC`` (bytes) overrides for on-chip calibration —
+    swin_base_384 stage 2 (C=512) misses the default 8 MB by ~1 MB."""
+    import os
+    env = os.environ.get("VITX_FULL_STATIC", "")
+    return int(env) if env else _STATIC_BUDGET
 
 
 def fits_spatial_full(Hp: int, Wp: int, window: int, C: int,
