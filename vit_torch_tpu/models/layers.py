@@ -264,17 +264,20 @@ def dense_regroup_factor(groups: int, cg: int) -> int:
         while groups % m:
             m -= 1
         return m
-    # auto: measured table — narrow groups win big from full dense;
-    # at cg=8 the sweep argmax is m=8 (64-wide contractions: 543.1 img/s
-    # vs 481.0 at m=4 / 449.8 at m=16 for resnext101_32x8d); ≥16-wide
-    # groups stay native
+    # auto: measured table — narrow groups win big from full dense
+    # (resnext50, cg=4 at every stage: m=32 → 1500.8 img/s vs 961
+    # native).  For everything wider, regroup by m=8: resnext101's
+    # stages span cg=8/16/32/64 and the UNIFORM-m sweep
+    # (dense_groups_ab.json) orders m=8 (543.1) > m=4 (481.0) > m=16
+    # (449.8) > m=2 (403.8) > m=1 (358.8) > m=32 (311.9) — while the
+    # prior per-cg rule ("cg ≥ 16 stays native") measured only 376.2
+    # at its [m=auto] point, leaving stages 2-4 on XLA's serial thin
+    # contractions.  m=8 at every site IS the measured argmax.
     if cg <= 4:
         return groups
-    if cg <= 8:
-        for m in (8, 4, 2):
-            if groups % m == 0:
-                return m
-        return 1
+    for m in (8, 4, 2):
+        if groups % m == 0:
+            return m
     return 1
 
 
