@@ -220,10 +220,12 @@ def _tunnel_ok(timeout_s: float = 180.0) -> bool:
     return done.wait(timeout_s)
 
 
-# Bounded retry schedule across a tunnel outage: ~13 min of total backoff
-# before giving up and emitting the STALE fallback.  Transient tunnel drops
-# of a few minutes (the round-3 failure mode) are survived; a genuinely
-# dead tunnel still terminates the bench in bounded time.
+# Bounded retry schedule across a tunnel outage: 750 s of sleeps plus up
+# to six 180 s probe timeouts ≈ 31 min worst case per schedule before
+# giving up (and the per-config mid-bench retry can invoke the schedule
+# once per failing config).  Transient tunnel drops of a few minutes (the
+# round-3 failure mode) are survived; a genuinely dead tunnel still
+# terminates the bench in bounded time.
 RETRY_BACKOFF_S = (30, 60, 120, 240, 300)
 
 
@@ -294,7 +296,8 @@ def main():
                     e = e2
             results.append({"name": c["name"], "error": repr(e)[:300]})
     headline = next((r for r in results if "error" not in r),
-                    {"img_per_sec_chip": 0, "vs_baseline": 0})
+                    {"name": CONFIGS[0]["name"] + " (ALL CONFIGS FAILED)",
+                     "img_per_sec_chip": 0, "vs_baseline": 0})
     extra = {
         "device": jax.devices()[0].device_kind,
         "configs": results,
@@ -302,8 +305,11 @@ def main():
     if probe_attempts > 1 or retries:
         extra["tunnel_probe_attempts"] = probe_attempts
         extra["config_retries"] = retries
+    # metric names the config the value actually came from — if the
+    # headline config errored, the label must not claim its name for a
+    # fallback config's number
     print(json.dumps({
-        "metric": f"images/sec/chip {CONFIGS[0]['name']}",
+        "metric": f"images/sec/chip {headline['name']}",
         "value": headline["img_per_sec_chip"],
         "unit": "img/s",
         "vs_baseline": headline.get("vs_baseline", 0),

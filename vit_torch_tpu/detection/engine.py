@@ -620,10 +620,13 @@ class DetectionTrainer:
         evaluator.synchronize_between_processes()
         evaluator.accumulate()
         out = evaluator.summarize()
-        prof["t_final"] = time.perf_counter() - t0
         if pq is not None:
             out["panoptic"] = {k: v for k, v in pq.summarize().items()
                                if k != "per_class"}
+        # t_final covers ALL end-of-loop host accumulation incl. PQ —
+        # anything left out would be misattributed to device compute by
+        # the artifact's residual formula
+        prof["t_final"] = time.perf_counter() - t0
         return out
 
 

@@ -422,7 +422,7 @@ def _attn_fused_block(x, num_heads: int) -> bool:
     if flag == "0":
         return False
     from vit_torch_tpu.ops.attention import (
-        _active_seq_mesh, flash_profitable)
+        _active_data_extent, _active_seq_mesh, flash_profitable)
     if _active_seq_mesh() is not None:
         return False                    # seq-sharded: ring attention path
     from vit_torch_tpu.ops.attn_block import fits
@@ -431,7 +431,16 @@ def _attn_fused_block(x, num_heads: int) -> bool:
         return False
     if flag == "1":
         return True
-    return (jax.default_backend() == "tpu" and B >= 64
+    # the crossover is PER-CHIP batch; under a data-parallel mesh the
+    # traced B is the global batch.  N must fill the kernel's 128-row
+    # chunk reasonably: at tiny N the q/k/v buffers round up to _CHUNK
+    # and the padding is wasted compute — vitb8@32px (N=17) measured
+    # 4040 vs 8936 img/s with the kernel forced on (caught by the final
+    # round-4 bench.py run)
+    from vit_torch_tpu.ops.attn_block import _CHUNK
+    return (jax.default_backend() == "tpu"
+            and B // _active_data_extent() >= 64
+            and N >= (3 * _CHUNK) // 4
             and not flash_profitable(N, num_heads, C // num_heads))
 
 

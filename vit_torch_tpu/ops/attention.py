@@ -60,6 +60,18 @@ def _active_seq_mesh():
     return None
 
 
+def _active_data_extent() -> int:
+    """Data-parallel extent of the mesh active at trace time (1 when
+    unsharded).  Inside a GSPMD-sharded step the traced batch dim is the
+    GLOBAL batch; dispatch heuristics tuned on per-chip batch (e.g. the
+    fused attention block's B >= 64 crossover) must divide by this."""
+    if _SEQ_MESH:
+        mesh = _SEQ_MESH[-1]
+        if mesh is not None:
+            return max(1, dict(mesh.shape).get("data", 1))
+    return 1
+
+
 def flash_profitable(n: int, num_heads: int, head_dim: int) -> bool:
     """Shared crossover heuristic for the Pallas flash kernel (used by the
     dispatcher below AND models.layers._attn_bhnd_layout — keep ONE copy).

@@ -581,9 +581,7 @@ def pick_config_spatial(nWc: int, N: int, C: int, H: int, has_mask: bool,
             continue
         wbw = pick_window_block(nWc, nWc, N, C, H, has_mask, groups)
         if window is not None:
-            while wbw >= 1 and not (nWc % wbw == 0 and
-                                    ((wbw * window) % 8 == 0
-                                     or wbw == nWc)):
+            while wbw >= 1 and not _wbw_aligned(wbw, window, nWc):
                 wbw -= 1
         if wbw:
             return wbw, groups
@@ -869,9 +867,11 @@ def pick_config_full(nWc: int, N: int, C: int, H: int, has_mask: bool,
     - Mosaic requires the x-block's second-minor dim (wbw·window) to be a
       multiple of 8 OR the full row (wbw == nWc) — caught live on-chip
       (window 12, wbw 1 → "block shape ... divisible by 8");
-    - the activation budget halves (~2×) for the in-VMEM residuals + the
-      4C-wide MLP hidden (``VITX_FULL_ACT`` overrides the element budget
-      for on-chip calibration)."""
+    - the activation budget shrinks to ONE THIRD of the attention-only
+      budget for the in-VMEM residuals + the 4C-wide MLP hidden
+      (``VITX_FULL_ACT`` overrides the element budget; the on-chip
+      calibration A/B validated exactly this /3 value — larger budgets
+      measured slower or VMEM-overflowed, see the PERF.md ledger)."""
     import os
     env = os.environ.get("VITX_FULL_ACT", "")
     if env:
@@ -883,13 +883,20 @@ def pick_config_full(nWc: int, N: int, C: int, H: int, has_mask: bool,
         return 0
     wbw = min(nWc, act_budget // (N * C))
     while wbw >= 1:
-        if nWc % wbw == 0 and \
-                ((wbw * window) % 8 == 0 or wbw == nWc) and \
+        if _wbw_aligned(wbw, window, nWc) and \
                 _static_bytes_full(wbw, N, C, H, has_mask,
                                    hidden) <= _full_static_budget():
             return wbw
         wbw -= 1
     return 0
+
+
+def _wbw_aligned(wbw: int, window: int, nWc: int) -> bool:
+    """Mosaic block-shape rule for the spatial variants' x-block: the
+    second-minor dim (wbw·window) must be a multiple of 8 or span the
+    full row (wbw == nWc); wbw must also divide the per-row window
+    count.  ONE copy — both spatial pickers dispatch through it."""
+    return nWc % wbw == 0 and ((wbw * window) % 8 == 0 or wbw == nWc)
 
 
 def _static_bytes_full(wb: int, N: int, C: int, H: int, has_mask: bool,
