@@ -52,9 +52,10 @@ class _TorchMlp(nn.Module):
 class _TorchBlock(nn.Module):
     def __init__(self, dim, heads):
         super().__init__()
-        self.norm1 = nn.LayerNorm(dim)
+        # DINO/timm ViT: LN eps 1e-6 (reference vision_all.py:330)
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
         self.attn = _TorchAttn(dim, heads)
-        self.norm2 = nn.LayerNorm(dim)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
         self.mlp = _TorchMlp(dim)
 
     def forward(self, x):
@@ -79,7 +80,7 @@ class _TorchViT(nn.Module):
         self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
         self.pos_embed = nn.Parameter(torch.randn(1, n + 1, dim) * 0.02)
         self.blocks = nn.ModuleList(_TorchBlock(dim, heads) for _ in range(depth))
-        self.norm = nn.LayerNorm(dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
 
     def forward(self, x):
         B = x.shape[0]

@@ -28,7 +28,7 @@ class _TorchDeiT(nn.Module):
         self.pos_embed = nn.Parameter(torch.randn(1, n + 2, DIM) * 0.02)
         self.blocks = nn.ModuleList(_TorchBlock(DIM, HEADS)
                                     for _ in range(DEPTH))
-        self.norm = nn.LayerNorm(DIM)
+        self.norm = nn.LayerNorm(DIM, eps=1e-6)
 
     def forward(self, x):
         B = x.shape[0]

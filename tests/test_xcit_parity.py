@@ -167,6 +167,8 @@ class _TXCiT(nn.Module):
         py = torch.stack([py[:, :, :, 0::2].sin(), py[:, :, :, 1::2].cos()],
                          dim=4).flatten(3)
         pos = torch.cat([py, px], dim=3).permute(0, 3, 1, 2)
+        # follow the module dtype (the fp64 trajectory tests run .double())
+        pos = pos.to(self.pos_embeder.token_projection.weight.dtype)
         return self.pos_embeder.token_projection(pos)
 
     def forward(self, x):

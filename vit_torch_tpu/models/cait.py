@@ -219,11 +219,11 @@ class LayerScaleBlock(nn.Module):
         init = nn.initializers.constant(self.init_scale)
         g1 = self.param("gamma_1", init, (C,), jnp.float32)
         g2 = self.param("gamma_2", init, (C,), jnp.float32)
-        y = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = TalkingHeadAttention(self.num_heads, self.qkv_bias,
                                  dtype=self.dtype, name="attn")(y, deterministic)
         x = x + g1.astype(self.dtype) * y
-        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(
             y, deterministic)
         return x + g2.astype(self.dtype) * y
@@ -246,11 +246,11 @@ class LayerScaleBlockCA(nn.Module):
         g1 = self.param("gamma_1", init, (C,), jnp.float32)
         g2 = self.param("gamma_2", init, (C,), jnp.float32)
         u = jnp.concatenate([x_cls, x], axis=1)
-        y = LayerNorm(dtype=self.dtype, name="norm1")(u)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(u)
         y = ClassAttention(self.num_heads, self.qkv_bias, dtype=self.dtype,
                            name="attn")(y, deterministic)
         x_cls = x_cls + g1.astype(self.dtype) * y
-        y = LayerNorm(dtype=self.dtype, name="norm2")(x_cls)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x_cls)
         y = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(
             y, deterministic)
         return x_cls + g2.astype(self.dtype) * y
@@ -292,7 +292,7 @@ class CaiT(nn.Module):
                                     name=f"blocks_token_only_{i}")(
                                         x, cls, deterministic)
         x = jnp.concatenate([cls, x], axis=1)
-        x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x[:, 0]
 
     @property

@@ -73,7 +73,7 @@ class DistilledVisionTransformer(nn.Module):
             x = block_cls(cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
                           qkv_bias=cfg.qkv_bias, dtype=self.dtype,
                           name=f"blocks_{i}")(x, deterministic)
-        x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         # averaged CLS/dist features (DeitCustom forced-average semantics)
         return (x[:, 0] + x[:, 1]) / 2
 

@@ -49,8 +49,11 @@ def gelu_exact(x: jax.Array) -> jax.Array:
 
 import functools as _functools
 
-# torch nn.LayerNorm uses eps=1e-5 (flax defaults to 1e-6) — required for
-# logits parity with imported checkpoints
+# torch nn.LayerNorm's default eps is 1e-5 (flax defaults to 1e-6); Swin
+# and the detection transformers construct LN with that default, so 1e-5 is
+# the right base here.  The timm-derived families override per call site:
+# ViT/DeiT (reference vision_all.py:330, deit.py:98), CaiT (cait.py:259)
+# and XCiT (xcit.py:416) all pass eps=1e-6 explicitly.
 LayerNorm = _functools.partial(nn.LayerNorm, epsilon=1e-5)
 
 
@@ -99,6 +102,64 @@ class LayerNormParams(nn.Module):
         bias = self.param("bias", nn.initializers.zeros,
                           (features,), jnp.float32)
         return scale, bias
+
+
+class BatchNorm(nn.Module):
+    """Batch normalization with torch-faithful running statistics.
+
+    flax ``nn.BatchNorm`` updates the running variance with the BIASED
+    batch estimator; torch ``BatchNorm2d`` — the reference's BN everywhere
+    (ResNeXt bottlenecks via torchvision ``models/vision_all.py:334-341``,
+    the XCiT conv stem/LPI ``models/xcit.py:58-141``) — uses the UNBIASED
+    one (×n/(n−1)).  Train-mode *normalization* uses the biased variance in
+    both frameworks, so the train-time forward/backward is unchanged; what
+    the correction fixes is the running-statistics trajectory — the
+    statistics a finetuned checkpoint later *evaluates* with.  Momentum
+    follows the flax convention (new = m·old + (1−m)·batch): torch's
+    default momentum 0.1 ≡ 0.9 here.  Param/stat leaf names match flax
+    (``scale``/``bias``, ``mean``/``var``) so importers, checkpoints and
+    the conv-BN eval folding are unaffected.  Normalization arithmetic runs
+    in fp32 regardless of ``dtype`` (torch AMP autocasts BN to fp32 the
+    same way); the result is cast back to ``dtype``.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (feat,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (feat,))
+        # fp32 stats floor; fp64 runs (trajectory-parity tests) stay fp64
+        ct = jnp.promote_types(jnp.float32, self.dtype)
+        x32 = x.astype(ct)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            red = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x32, axis=red)
+            var = jnp.maximum(
+                jnp.mean(x32 * x32, axis=red) - mean * mean, 0.0)
+            if not self.is_initializing():
+                n = 1
+                for ax in red:
+                    n *= x.shape[ax]
+                corr = n / (n - 1) if n > 1 else 1.0
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * (var * corr)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype)
 
 
 class QDense(nn.Module):
@@ -580,13 +641,15 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         dim = x.shape[-1]
-        y = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        # reference ViT/DeiT norm_layer eps is 1e-6 (vision_all.py:330,
+        # deit.py:98) — NOT torch's 1e-5 default (Swin keeps 1e-5)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = Attention(self.num_heads, qkv_bias=self.qkv_bias,
                       qk_scale=self.qk_scale, attn_drop=self.attn_drop,
                       proj_drop=self.drop, dtype=self.dtype, name="attn")(
                           y, deterministic)
         x = x + DropPath(self.drop_path_rate)(y, deterministic)
-        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(dim * self.mlp_ratio), dropout=self.drop,
                 dtype=self.dtype, name="mlp")(y, deterministic)
         x = x + DropPath(self.drop_path_rate)(y, deterministic)

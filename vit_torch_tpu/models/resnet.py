@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_torch_tpu.models.layers import (
-    Dtype, GroupedConv, fold_conv_bn_eval, use_folded_bn,
+    BatchNorm, Dtype, GroupedConv, fold_conv_bn_eval, use_folded_bn,
 )
 
 
@@ -95,7 +95,7 @@ class Bottleneck(nn.Module):
                 x = fold(x, "downsample_conv", "downsample_bn",
                          strides=(self.stride, self.stride))
             return nn.relu(x + y)
-        bn = lambda name: nn.BatchNorm(use_running_average=deterministic,
+        bn = lambda name: BatchNorm(use_running_average=deterministic,
                                        momentum=0.9, epsilon=1e-5,
                                        dtype=self.dtype, name=name)
         y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
@@ -137,7 +137,7 @@ class ResNet(nn.Module):
         else:
             x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                         dtype=self.dtype, name="conv1")(x)
-            x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+            x = BatchNorm(use_running_average=deterministic, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

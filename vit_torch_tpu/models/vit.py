@@ -95,7 +95,7 @@ class VisionTransformer(nn.Module):
                           qkv_bias=cfg.qkv_bias, drop=cfg.drop_rate,
                           attn_drop=cfg.attn_drop_rate, drop_path_rate=dpr,
                           dtype=self.dtype, name=f"blocks_{i}")(x, deterministic)
-        x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         if self.return_all_tokens:
             return x
         return x[:, 0]

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vit_torch_tpu.models.layers import (
-    Dtype, LayerNorm, Mlp, QDense, _use_w8a8, gelu_exact, trunc_normal_init,
+    BatchNorm, Dtype, LayerNorm, Mlp, QDense, _use_w8a8, gelu_exact,
+    trunc_normal_init,
 )
 
 
@@ -158,7 +159,7 @@ class ConvPatchEmbed(nn.Module):
         for i, w in enumerate(widths):
             x = nn.Conv(w, (3, 3), strides=2, padding=1, use_bias=False,
                         dtype=self.dtype, name=f"conv{i}")(x)
-            x = nn.BatchNorm(use_running_average=deterministic,
+            x = BatchNorm(use_running_average=deterministic,
                              momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                              name=f"bn{i}")(x)
             if i < len(widths) - 1:
@@ -181,7 +182,7 @@ class LPI(nn.Module):
         y = nn.Conv(C, (3, 3), padding=1, feature_group_count=C,
                     dtype=self.dtype, name="conv1")(y)
         y = gelu_exact(y)
-        y = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+        y = BatchNorm(use_running_average=deterministic, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn")(y)
         y = nn.Conv(C, (3, 3), padding=1, feature_group_count=C,
                     dtype=self.dtype, name="conv2")(y)
