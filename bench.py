@@ -305,6 +305,11 @@ def main():
     if probe_attempts > 1 or retries:
         extra["tunnel_probe_attempts"] = probe_attempts
         extra["config_retries"] = retries
+    # stable machine-readable signal that the metric was relabeled to a
+    # fallback config (consumers tracking the headline time series can
+    # filter on this instead of string-parsing the metric name)
+    if results and "error" in results[0]:
+        extra["headline_config_failed"] = True
     # metric names the config the value actually came from — if the
     # headline config errored, the label must not claim its name for a
     # fallback config's number

@@ -104,6 +104,76 @@ void rle_iou(const uint32_t* dt_counts, const int* dt_off, const int* dt_len,
     }
 }
 
+// Original-resolution column-major RLE of a nearest-rescaled, cropped
+// letterbox mask, computed directly in the RUN-LENGTH domain (no pixel
+// rasterization — O(w · flips) instead of O(w · h)).  Replaces the host
+// unpackbits → index-gather resize → rle_encode chain of the segm eval
+// (the 1-core host is 95% of segm-eval wall, PERF.md eval-at-scale
+// ledger); the flip arrays come from the device (`mask_col_runs`).
+//
+// Inputs:
+//   runs:   S*R int32; runs[c*R + k] = k-th letterbox row (ascending)
+//           where column c's value flips (value stream starts at 0);
+//           entries beyond counts[c] are padding (>= S)
+//   counts: S int32 TRUE flip count per column (> R = device truncation)
+//   xs:     w int32, output column -> letterbox source column
+//   rinv:   (S+1) int32, letterbox row f -> first output row whose
+//           nearest-sampled source row >= f (== h when none); encodes the
+//           crop + nearest resize (precomputed once per image)
+//   h, w:   output (original-image) size
+// Writes the COCO column-major counts to out (capacity cap).  Returns the
+// run count, -1 when cap is exceeded, -2 when a used column's flip count
+// exceeds R (device truncated — caller must fall back to the pixel path).
+int rle_from_col_runs(const int32_t* runs, const int32_t* counts,
+                      int S, int R, const int32_t* xs, const int32_t* rinv,
+                      int h, int w, uint32_t* out, int cap) {
+    std::vector<int> buf(R);
+    int k = 0;
+    uint32_t run = 0;                 // current run length
+    uint8_t cur = 0;                  // current stream value (starts at 0)
+    for (int c = 0; c < w; ++c) {
+        int sc = xs[c];
+        int cnt = counts[sc];
+        if (cnt > R) return -2;
+        const int32_t* fr = runs + (int64_t)sc * R;
+        // map letterbox flip rows -> output flip rows; a pair of flips
+        // landing between the same two sampled rows cancels (no output
+        // pixel ever sees the intermediate value)
+        int m = 0;
+        for (int i = 0; i < cnt; ++i) {
+            int f = fr[i];
+            int r = (f <= 0) ? 0 : (f > S ? h : rinv[f]);
+            if (m > 0 && buf[m - 1] == r) --m;
+            else buf[m++] = r;
+        }
+        // the column's pixel value in [buf[j-1], buf[j]) is j's parity —
+        // independent of the stream value entering the column, so a run
+        // boundary also falls at the column border whenever the previous
+        // column ended on the other value
+        int pos = 0;
+        uint8_t v = 0;
+        for (int i = 0; i <= m; ++i) {
+            int r = (i < m) ? std::min(buf[i], h) : h;
+            int len = r - pos;
+            if (len > 0) {
+                if (v != cur) {
+                    if (k >= cap) return -1;
+                    out[k++] = run;
+                    run = 0;
+                    cur = v;
+                }
+                run += (uint32_t)len;
+            }
+            pos = r;
+            v ^= 1;
+            if (r >= h) break;
+        }
+    }
+    if (k >= cap) return -1;
+    out[k++] = run;
+    return k;
+}
+
 // bbox IoU with COCO iscrowd semantics. Boxes are xywh.
 void bbox_iou(const double* dt, int n_dt, const double* gt, int n_gt,
               const uint8_t* iscrowd, double* out) {

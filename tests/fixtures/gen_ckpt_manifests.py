@@ -1,4 +1,12 @@
-"""Generate key/shape manifests of the REAL published torch checkpoints.
+"""Generate key/shape manifests of the published torch checkpoint layouts.
+
+DERIVATION CAVEAT: no environment egress → these manifests are derived
+from the reference's model-constructor code (the same code that builds the
+module whose ``state_dict`` the published ``.pth`` files were saved from),
+NOT from hash-verified downloads of those files.  Drift between a released
+file and the released model code would go undetected here; if egress ever
+becomes available, add an opt-in test diffing each manifest against the
+downloaded checkpoint's actual key/shape set.
 
 The importer parity suites (`test_checkpoint.py`, `test_ckpt_fixtures.py`)
 exercise the five torch key layouts against locally-built torch

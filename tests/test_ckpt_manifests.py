@@ -1,4 +1,8 @@
-"""Importers vs the REAL published checkpoint layouts.
+"""Importers vs the published checkpoint layouts (constructor-derived).
+
+CAVEAT: the manifests are derived from the reference's released model
+constructors, not from hash-verified downloads of the ``.pth`` files (no
+egress in this environment) — see ``fixtures/gen_ckpt_manifests.py``.
 
 `test_ckpt_fixtures.py` proves the importers round-trip locally-built
 torch mini-models.  This suite pins them to the actual published

@@ -183,3 +183,94 @@ def test_pq_update_perfect_prediction():
                            "scores": np.asarray([0.9])})
     out = pq.summarize()
     assert out["pq"] > 0.9 and out["rq"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# run-length-domain segm eval (device mask_col_runs + host rle_from_col_runs)
+# ---------------------------------------------------------------------------
+
+def _blob_masks(n, S, seed=0, holes=False):
+    """Binary masks with a few rectangles/ellipses (COCO-ish topology)."""
+    rng = np.random.default_rng(seed)
+    masks = np.zeros((n, S, S), bool)
+    for i in range(n):
+        for _ in range(rng.integers(1, 4)):
+            y0, x0 = rng.integers(0, S - 4, 2)
+            hh, ww = rng.integers(3, S // 2, 2)
+            masks[i, y0:y0 + hh, x0:x0 + ww] = True
+        if holes:
+            y0, x0 = rng.integers(S // 4, S // 2, 2)
+            masks[i, y0:y0 + 5, x0:x0 + 5] = False
+    return masks
+
+
+def test_mask_col_runs_matches_numpy_flips():
+    from vit_torch_tpu.detection.segmentation import mask_col_runs
+    S = 64
+    masks = _blob_masks(4, S, seed=3, holes=True)
+    runs, counts = jax.jit(lambda m: mask_col_runs(m, 8))(
+        jnp.asarray(masks))
+    runs, counts = np.asarray(runs), np.asarray(counts)
+    for i in range(masks.shape[0]):
+        for c in range(S):
+            col = masks[i, :, c].astype(np.int8)
+            flips = np.flatnonzero(np.diff(np.concatenate([[0], col])))
+            assert counts[i, c] == len(flips)
+            if len(flips) <= 8:
+                np.testing.assert_array_equal(runs[i, c, :len(flips)],
+                                              flips)
+                assert (runs[i, c, len(flips):] == S).all()
+
+
+@pytest.mark.parametrize("orig,scale,pad", [
+    ((64, 64), 1.0, (0, 0)),           # identity
+    ((128, 96), 0.5, (8, 0)),          # downscaled, x-padded
+    ((50, 70), 0.9, (0, 9)),           # non-integer ratio
+    ((200, 40), 0.3, (26, 2)),         # strong downscale, both pads
+    ((30, 20), 2.0, (12, 2)),          # upscale (orig smaller than box)
+])
+def test_rle_from_col_runs_matches_pixel_path(orig, scale, pad):
+    """runs-domain RLE == rle_encode(_unletterbox_masks(mask)) exactly,
+    native and numpy fallbacks both."""
+    from vit_torch_tpu.detection import _mask
+    from vit_torch_tpu.detection.engine import _unletterbox_masks
+    from vit_torch_tpu.detection.segmentation import mask_col_runs
+    S = 64
+    masks = _blob_masks(6, S, seed=11, holes=True)
+    runs, counts = jax.jit(lambda m: mask_col_runs(m, 24))(
+        jnp.asarray(masks))
+    runs, counts = np.asarray(runs), np.asarray(counts)
+    pixel = _unletterbox_masks(masks.astype(np.uint8), scale,
+                               np.asarray(pad), np.asarray(orig))
+    for i in range(masks.shape[0]):
+        want = _mask.encode(pixel[i])
+        got = _mask.rle_from_col_runs(runs[i], counts[i], scale=scale,
+                                      pad=pad, orig_size=orig)
+        assert got is not None
+        assert got["size"] == want["size"]
+        assert list(got["counts"]) == list(want["counts"]), (i, orig, scale)
+        # numpy fallback path must agree bit-for-bit too
+        orig_lib = _mask._LIB
+        _mask._LIB = None
+        try:
+            import unittest.mock as mock
+            with mock.patch.object(_mask, "_load_lib", lambda: None):
+                got2 = _mask.rle_from_col_runs(
+                    runs[i], counts[i], scale=scale, pad=pad,
+                    orig_size=orig)
+        finally:
+            _mask._LIB = orig_lib
+        assert list(got2["counts"]) == list(want["counts"])
+
+
+def test_rle_from_col_runs_overflow_returns_none():
+    from vit_torch_tpu.detection import _mask
+    from vit_torch_tpu.detection.segmentation import mask_col_runs
+    S = 32
+    checker = np.indices((S, S)).sum(0) % 2 == 0     # S flips per column
+    runs, counts = mask_col_runs(jnp.asarray(checker[None]), 8)
+    assert int(np.asarray(counts).max()) > 8
+    got = _mask.rle_from_col_runs(np.asarray(runs)[0],
+                                  np.asarray(counts)[0], scale=1.0,
+                                  pad=(0, 0), orig_size=(S, S))
+    assert got is None

@@ -378,12 +378,15 @@ class CocoEvaluator:
 
     def update(self, predictions: Dict[int, dict]) -> None:
         """predictions: {image_id: {'boxes' xyxy, 'scores', 'labels'
-        [, 'masks' (N, H, W) binary][, 'keypoints' (N, K, 3)]}}"""
+        [, 'masks' (N, H, W) binary | 'segm_rles' (N RLE dicts, already
+        original-resolution — the run-length-domain eval path)]
+        [, 'keypoints' (N, K, 3)]}}"""
         for img_id, pred in predictions.items():
             boxes = np.asarray(pred["boxes"], np.float64).reshape(-1, 4)
             scores = np.asarray(pred["scores"], np.float64).reshape(-1)
             labels = np.asarray(pred["labels"], np.int64).reshape(-1)
             masks = pred.get("masks")
+            rles = pred.get("segm_rles")
             keypoints = pred.get("keypoints")
             # xyxy -> xywh (reference object/coco_eval.py:158-160)
             xywh = boxes.copy()
@@ -395,7 +398,9 @@ class CocoEvaluator:
                     "bbox": [float(v) for v in box],
                     "score": float(score),
                 }
-                if masks is not None:
+                if rles is not None:
+                    result["segmentation"] = rles[i]
+                elif masks is not None:
                     result["segmentation"] = _mask.encode(
                         np.asarray(masks[i], np.uint8))
                 if keypoints is not None:

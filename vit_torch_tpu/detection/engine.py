@@ -368,13 +368,19 @@ class DetectionTrainer:
                                 jnp.asarray(batch["pad"]))
             if masks_on and "pred_masks" in outputs:
                 from vit_torch_tpu.detection.segmentation import (
-                    pack_mask_bits, postprocess_segm)
-                # (B, Q, S, S) bool at letterbox resolution, bit-packed to
-                # (B, Q, S, S/8) uint8 for the D2H (the transfer dominates
-                # eval wall-clock on tunneled devices — PERF.md ledger);
-                # un-letterboxing to original size happens on host
-                preds["masks_packed"] = pack_mask_bits(
-                    postprocess_segm(outputs["pred_masks"], image_size))
+                    mask_col_runs, pack_mask_bits, postprocess_segm)
+                # (B, Q, S, S) bool at letterbox resolution.  Two outputs:
+                # - per-column flip rows (mask_col_runs): the segm-eval hot
+                #   path — the host builds original-resolution RLE straight
+                #   in the run-length domain (O(runs), no per-pixel work);
+                # - bit-packed pixels: the panoptic rasterizer's input and
+                #   the fallback when a column's flips overflow the run cap
+                #   (evaluate() only transfers it when actually needed)
+                mb = postprocess_segm(outputs["pred_masks"], image_size)
+                runs, cnts = mask_col_runs(mb)
+                preds["masks_packed"] = pack_mask_bits(mb)
+                preds["mask_runs"] = runs
+                preds["mask_run_counts"] = cnts
             return preds
 
         @jax.jit
@@ -538,10 +544,13 @@ class DetectionTrainer:
             from vit_torch_tpu.detection.panoptic_eval import PQStat
             pq = PQStat()
 
+        from vit_torch_tpu.detection import _mask
+
         def _prep_image(args):
             """Per-image host post-processing (pure → runs in the pool):
-            score filter, label remap, mask un-letterbox, PQ rasterize."""
-            preds, batch, b = args
+            score filter, label remap, mask RLE / un-letterbox, PQ
+            rasterize."""
+            preds, batch, b, get_packed = args
             keep = preds["scores"][b] >= score_threshold
             labels = preds["labels"][b][keep]
             if label_to_cat:
@@ -554,18 +563,45 @@ class DetectionTrainer:
             }
             if "keypoints" in preds:
                 update["keypoints"] = preds["keypoints"][b][keep]
-            masks = None
-            if want_masks and "masks_packed" in preds:
+
+            def _pixel_masks(packed):
                 # packed width is byte-padded; slice back to image_size
-                masks = np.unpackbits(
-                    np.asarray(preds["masks_packed"][b][keep]),
-                    axis=-1)[..., :self.image_size]
+                pix = np.unpackbits(np.asarray(packed),
+                                    axis=-1)[..., :self.image_size]
+                return _unletterbox_masks(
+                    pix, batch["scale"][b], batch["pad"][b],
+                    batch["orig_size"][b])
+
+            masks = None
+            if want_masks and "mask_runs" in preds:
+                # run-length-domain path: original-resolution RLE straight
+                # from the device's per-column flip rows — no per-pixel
+                # host work (PERF.md eval-at-scale ledger; the pixel chain
+                # was 95% of segm-eval wall on this 1-core box)
+                runs = np.asarray(preds["mask_runs"][b][keep])
+                cnts = np.asarray(preds["mask_run_counts"][b][keep])
+                rles = [
+                    _mask.rle_from_col_runs(
+                        runs[i], cnts[i], scale=float(batch["scale"][b]),
+                        pad=batch["pad"][b],
+                        orig_size=batch["orig_size"][b])
+                    for i in range(runs.shape[0])]
+                if any(r is None for r in rles):
+                    # flip count overflowed the device run cap for some
+                    # mask: decode those from the lazily-fetched packed
+                    # pixels (transferred only when this happens)
+                    pix = _pixel_masks(get_packed()[b][keep])
+                    rles = [r if r is not None else _mask.encode(pix[i])
+                            for i, r in enumerate(rles)]
+                update["segm_rles"] = rles
+            elif want_masks and "masks_packed" in preds:
+                masks = _pixel_masks(preds["masks_packed"][b][keep])
             elif want_masks and "masks" in preds:
-                masks = preds["masks"][b][keep]
-            if masks is not None:
-                update["masks"] = _unletterbox_masks(
-                    masks, batch["scale"][b],
+                masks = _unletterbox_masks(
+                    preds["masks"][b][keep], batch["scale"][b],
                     batch["pad"][b], batch["orig_size"][b])
+            if masks is not None:
+                update["masks"] = masks
             img_id = int(batch["image_id"][b])
             pq_args = (_pq_prepare(coco_gt, img_id, update)
                        if pq is not None and "masks" in update else None)
@@ -580,11 +616,22 @@ class DetectionTrainer:
         self.last_eval_profile = prof
         with ThreadPoolExecutor(max_workers=8) as pool:
 
-            def _drain(batch, preds_dev):
+            def _drain(batch, preds_dev, packed_dev):
                 t0 = time.perf_counter()
                 preds = jax.device_get(preds_dev)
                 t1 = time.perf_counter()
-                todo = [(preds, batch, b)
+                from threading import Lock
+                cell, lock = {}, Lock()
+
+                def get_packed():
+                    # memoized on-demand transfer of the packed pixel masks
+                    # (only paid when a mask overflows the device run cap)
+                    with lock:
+                        if "v" not in cell:
+                            cell["v"] = np.asarray(jax.device_get(packed_dev))
+                    return cell["v"]
+
+                todo = [(preds, batch, b, get_packed)
                         for b in range(len(batch["image_id"]))
                         if batch["mask"][b] != 0]
                 # heavy per-image work in the pool; the stateful evaluator
@@ -608,12 +655,23 @@ class DetectionTrainer:
             for batch in loader:
                 dev_batch = (_shard_batch(batch, mesh)
                              if mesh is not None else batch)
-                preds_dev = self._predict(self.params, dev_batch)
+                preds_dev = dict(self._predict(self.params, dev_batch))
+                packed_dev = None
+                if "mask_runs" in preds_dev:
+                    if pq is None:
+                        # runs-domain segm path: hold the packed pixels on
+                        # device (fetched only on run-cap overflow)
+                        packed_dev = preds_dev.pop("masks_packed", None)
+                    else:
+                        # panoptic rasterizes pixels anyway — skip the runs
+                        # transfer entirely
+                        preds_dev.pop("mask_runs")
+                        preds_dev.pop("mask_run_counts")
                 jax.tree_util.tree_map(
                     lambda a: a.copy_to_host_async(), preds_dev)
                 if pending is not None:
                     _drain(*pending)
-                pending = (batch, preds_dev)
+                pending = (batch, preds_dev, packed_dev)
             if pending is not None:
                 _drain(*pending)
         t0 = time.perf_counter()

@@ -246,6 +246,34 @@ def postprocess_segm(pred_masks: jnp.ndarray, image_size: int,
     return (jax.nn.sigmoid(up) > threshold)
 
 
+def mask_col_runs(masks: jnp.ndarray, max_runs: int = 24):
+    """Per-COLUMN value-flip rows of binary letterbox masks — the device
+    half of the run-length-domain segm eval (host half:
+    ``_mask.rle_from_col_runs``).
+
+    (..., S, S) bool → (runs (..., S, R) int16, counts (..., S) int16).
+    Column c of a mask flips value (0↔1, starting from 0 — COCO RLE
+    parity) at exactly rows ``runs[..., c, :counts[c]]`` (ascending;
+    padding entries = S).  ``counts > R`` marks device truncation: the
+    host must fall back to the pixel path for that mask.
+
+    Replaces the host's per-pixel unpackbits/gather/scan chain with an
+    O(runs) transfer + stitch: the device computes flips with one compare
+    + ``top_k`` per column while it is otherwise idle behind the
+    host-bound segm eval (PERF.md eval-at-scale ledger)."""
+    S = masks.shape[-1]
+    m = jnp.swapaxes(masks.astype(jnp.int32), -1, -2)     # (..., col, row)
+    prev = jnp.concatenate([jnp.zeros_like(m[..., :1]), m[..., :-1]], -1)
+    t = m != prev
+    counts = jnp.sum(t, axis=-1, dtype=jnp.int32)
+    row = jnp.arange(S, dtype=jnp.int32)
+    # smallest-R flip rows, ascending: top_k over reversed keys
+    key = jnp.where(t, S - row, -1)
+    vals, _ = jax.lax.top_k(key, max_runs)                # descending
+    runs = jnp.where(vals > 0, S - vals, S)
+    return runs.astype(jnp.int16), counts.astype(jnp.int16)
+
+
 def pack_mask_bits(masks: jnp.ndarray) -> jnp.ndarray:
     """(..., W) binary masks → (..., W/8) uint8, 8 pixels per byte
     (MSB-first, ``np.unpackbits`` layout).  Mask D2H is the dominant eval

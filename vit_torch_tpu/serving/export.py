@@ -263,9 +263,17 @@ def export_classifier(zoo_model, variables, *, image_size: int,
             raise ValueError(f"batch size {bs} not divisible by "
                              f"num_devices={num_devices}")
         spec = jax.ShapeDtypeStruct((bs, image_size, image_size, 3), jnp.uint8)
-        exports[bs] = jax.export.export(
-            jax.jit(forward, **jit_kw),
-            platforms=None if platforms is None else list(platforms))(spec)
+        # push the mesh as the active data-extent context so per-chip-batch
+        # dispatch heuristics (layers._attn_fused_block's B/extent >= 64
+        # crossover) see the PER-CHIP batch, not the global batch — without
+        # this a data-parallel export trace would evaluate the crossover
+        # against bs instead of bs/num_devices
+        from vit_torch_tpu.ops.attention import sequence_parallel
+        with sequence_parallel(sharding.mesh if sharding is not None
+                               else None):
+            exports[bs] = jax.export.export(
+                jax.jit(forward, **jit_kw),
+                platforms=None if platforms is None else list(platforms))(spec)
     num_classes = int(exports[min(exports)].out_avals[0].shape[-1])
     manifest = {
         "format": "vit_torch_tpu.serving/1",
