@@ -217,20 +217,22 @@ def _use_fused_block_full(H: int, W: int, w: int, C: int, heads: int,
     from vit_torch_tpu.models.layers import _use_w8a8
     if _use_w8a8(deterministic):
         return False
-    if flag != "1" and w == 7 and (shift > 0 or C != 384):
-        # measured dispatch table (round-5 on-chip cell probes,
-        # examples/perf/swin_small_stage_probe.json +
-        # swin_base224_cells.json): at window-7 shapes (N=49 padded to 64
-        # in-kernel) the band kernel BEATS the full-block kernel at every
-        # cell except C=384 unshifted — small C (96-256: s0 1.23 vs 1.46,
-        # s1 0.59 vs 0.78 ms) is VPU/pad-bound so the fused MLP adds
-        # serial work; C=512 (b2 0.405 vs 0.598) loses to the 6.5 MB
-        # VMEM-resident weight set starving the activation pipeline; and
-        # every shifted cell pays the in-kernel mask + the /3 masked act
-        # budget (tiny s2_shift 0.255 vs 0.432; the base_224 shifted
-        # full-block wins are 3-8%, within cell noise).  w=12 (N=144, no
-        # row padding) keeps full-block everywhere it fits — the round-4
-        # base_384 +33% was measured with exactly that dispatch.
+    if flag != "1" and w == 7:
+        # Measured dispatch policy (round-5 on-chip probes): at window-7
+        # shapes (N=49 padded to 64 in-kernel) the band kernel beats the
+        # full-block kernel EVERYWHERE e2e — swin_tiny fwd bs32 8.68 vs
+        # 9.35 ms/batch, swin_base_224 16.11 vs 17.81
+        # (examples/perf/swin_dispatch_ab.json).  Per-cell probes
+        # (swin_small_stage_probe.json, swin_base224_cells.json) locate
+        # the losses: small C (96-256) is VPU/pad-bound so the fused
+        # LN/MLP adds serial in-program work; C=512 pays the 6.5 MB
+        # VMEM-resident weight set starving the activation pipeline;
+        # shifted cells pay the in-kernel mask + the /3 masked act
+        # budget.  The one isolated full-block win (C=384 unshifted,
+        # 0.200 vs 0.260 ms) did NOT survive e2e (9.09 vs 8.68 — e2e
+        # governs, PERF.md).  w=12 (N=144, no row padding) keeps
+        # full-block everywhere it fits — the round-4 base_384 +33% was
+        # measured with exactly that dispatch.
         return False
     from vit_torch_tpu.ops.window_block import fits_spatial_full
     return fits_spatial_full(H, W, w, C, heads, shift > 0, hidden)
