@@ -242,10 +242,10 @@ def test_window_block_spatial_head_split(masked):
     m = mask if masked else None
     out_g1 = _window_block_spatial(
         y, w_qkv, b_qkv.reshape(1, -1), bias,
-        m, w_proj, b_proj.reshape(1, -1), 8, (256 // 8) ** -0.5, 2, 4, 1)
+        m, w_proj, b_proj.reshape(1, -1), 8, (256 // 8) ** -0.5, 2, 4, 1, 1)
     out_g2 = _window_block_spatial(
         y, w_qkv, b_qkv.reshape(1, -1), bias,
-        m, w_proj, b_proj.reshape(1, -1), 8, (256 // 8) ** -0.5, 2, 4, 2)
+        m, w_proj, b_proj.reshape(1, -1), 8, (256 // 8) ** -0.5, 2, 4, 2, 1)
     np.testing.assert_allclose(np.asarray(out_g1), np.asarray(out_g2),
                                atol=3e-5, rtol=1e-4)
 
@@ -260,7 +260,7 @@ def test_window_block_spatial_head_split_window7_masked():
     outs = [
         _window_block_spatial(
             y, w_qkv, b_qkv.reshape(1, -1), bias, mask, w_proj,
-            b_proj.reshape(1, -1), 4, scale, 2, 7, g)
+            b_proj.reshape(1, -1), 4, scale, 2, 7, g, 1)
         for g in (1, 2)
     ]
     np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[1]),
@@ -547,3 +547,26 @@ def test_layer_norm_params_matches_flax_layernorm():
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=1e-5, atol=1e-5)
+
+
+def test_window_block_spatial_multi_row_bands():
+    """wbh > 1 (multi-row window bands — the round-5 small-C lever) must
+    match the single-row kernel exactly at every wbh, masked and not."""
+    import os
+
+    from vit_torch_tpu.ops.window_block import window_block_spatial
+    y, w_qkv, b_qkv, bias, mask, w_proj, b_proj = _wbs_inputs(
+        B=2, Hp=28, Wp=28, w=7, C=64, H=2, seed=9)
+    for m in (None, mask):
+        outs = {}
+        for wbh in ("1", "2", "4"):
+            os.environ["VITX_WBH"] = wbh
+            try:
+                outs[wbh] = np.asarray(window_block_spatial(
+                    y, w_qkv, b_qkv, bias, m, w_proj, b_proj,
+                    num_heads=2, window=7))
+            finally:
+                os.environ.pop("VITX_WBH", None)
+        for wbh in ("2", "4"):
+            np.testing.assert_allclose(outs[wbh], outs["1"],
+                                       atol=3e-6, rtol=1e-5)

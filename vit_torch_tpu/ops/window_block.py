@@ -402,7 +402,7 @@ def _pad_sublane(n: int) -> int:
 
 
 def _fwd_kernel_spatial(*refs, num_heads: int, scale: float, has_mask: bool,
-                        window: int, wbw: int):
+                        window: int, wbw: int, wbh: int = 1):
     if has_mask:
         (x_ref, wqkv_ref, bqkv_ref, bias_ref, mask_ref, wproj_ref,
          bproj_ref, o_ref) = refs
@@ -414,32 +414,37 @@ def _fwd_kernel_spatial(*refs, num_heads: int, scale: float, has_mask: bool,
     NP = _pad_sublane(N)
     C = x_ref.shape[-1]
     CL = _pad_lane(C)
-    xb = x_ref[0]                                   # (w, WBw·w, C)
+    xb = x_ref[0]                                   # (WBh·w, WBw·w, C)
     if CL != C:
         xb = jnp.pad(xb, ((0, 0), (0, 0), (0, CL - C)))
     pieces = []
-    for j in range(wbw):
-        xw = xb[:, j * w:(j + 1) * w, :].reshape(N, CL)
-        if NP != N:
-            xw = jnp.pad(xw, ((0, NP - N), (0, 0)))
-        pieces.append(xw)
-    x = jnp.concatenate(pieces, axis=0)             # (WBw·NP, CL) token-major
+    for i in range(wbh):
+        for j in range(wbw):
+            xw = xb[i * w:(i + 1) * w,
+                    j * w:(j + 1) * w, :].reshape(N, CL)
+            if NP != N:
+                xw = jnp.pad(xw, ((0, NP - N), (0, 0)))
+            pieces.append(xw)
+    x = jnp.concatenate(pieces, axis=0)        # (WBh·WBw·NP, CL) token-major
     if CL != C:
         x = x[:, :C]
     mask = mask_ref[...].astype(jnp.float32) if has_mask else None
     out = _block_compute(x, wqkv_ref, bqkv_ref, bias_ref, mask, wproj_ref,
-                         bproj_ref, WB=wbw, N=NP, num_heads=num_heads,
+                         bproj_ref, WB=wbh * wbw, N=NP, num_heads=num_heads,
                          scale=scale, kv_len=N)
     out = out.astype(o_ref.dtype)
     if CL != C:
         out = jnp.pad(out, ((0, 0), (0, CL - C)))
-    for j in range(wbw):
-        win = out[j * NP:j * NP + N].reshape(w, w, CL)
-        o_ref[0, :, j * w:(j + 1) * w, :] = win[:, :, :C]
+    for i in range(wbh):
+        for j in range(wbw):
+            win = out[(i * wbw + j) * NP:(i * wbw + j) * NP + N] \
+                .reshape(w, w, CL)
+            o_ref[0, i * w:(i + 1) * w, j * w:(j + 1) * w, :] = \
+                win[:, :, :C]
 
 
 def _fwd_impl_spatial(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
-                      num_heads, scale, wbw, window, groups=1):
+                      num_heads, scale, wbw, window, groups=1, wbh=1):
     B, Hp, Wp, C = y.shape
     w = window
     nH, nWc = Hp // w, Wp // w
@@ -447,7 +452,8 @@ def _fwd_impl_spatial(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
     if groups > 1:
         return _head_split(
             lambda wq, bq, bg, wp, bp, Hg: _fwd_impl_spatial(
-                y, wq, bq, bg, mask, wp, bp, Hg, scale, wbw, window),
+                y, wq, bq, bg, mask, wp, bp, Hg, scale, wbw, window,
+                wbh=wbh),
             w_qkv, b_qkv, bias, w_proj, b_proj, num_heads, C, groups)
     Ca = w_qkv.shape[1] // 3
     N = w * w
@@ -460,8 +466,14 @@ def _fwd_impl_spatial(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
             mask = jnp.pad(mask, ((0, 0), (0, NP - N), (0, NP - N)))
     H = num_heads
     nWb = nWc // wbw
-    grid = (B, nH, nWb)
-    xspec = pl.BlockSpec((1, w, wbw * w, C), lambda b, h, j: (b, h, j, 0))
+    # multi-row bands (wbh > 1, requires full-row wbw so the window-major
+    # mask rows stay contiguous): one program covers wbh consecutive
+    # window rows — fatter matmuls, fewer programs, per-program fixed
+    # costs amortized (the small-C stages' lever, PERF.md round-5)
+    assert wbh == 1 or (wbw == nWc and nH % wbh == 0)
+    grid = (B, nH // wbh, nWb)
+    xspec = pl.BlockSpec((1, wbh * w, wbw * w, C),
+                         lambda b, h, j: (b, h, j, 0))
     in_specs = [
         xspec,
         pl.BlockSpec((C, 3 * Ca), lambda b, h, j: (0, 0)),
@@ -471,9 +483,10 @@ def _fwd_impl_spatial(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
     args = [y, w_qkv, b_qkv, bias]
     if has_mask:
         # mask rows are window-major (hi·nWc + wi); this program's block of
-        # WBw consecutive same-row windows starts at block index h·nWb + j
+        # wbh·wbw consecutive windows starts at block index h·nWb + j
         in_specs.append(pl.BlockSpec(
-            (wbw, NP, NP), lambda b, h, j, nWb=nWb: (h * nWb + j, 0, 0)))
+            (wbh * wbw, NP, NP),
+            lambda b, h, j, nWb=nWb: (h * nWb + j, 0, 0)))
         args.append(mask)
     in_specs.extend([
         pl.BlockSpec((Ca, C), lambda b, h, j: (0, 0)),
@@ -483,7 +496,7 @@ def _fwd_impl_spatial(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
     return pl.pallas_call(
         functools.partial(_fwd_kernel_spatial, num_heads=num_heads,
                           scale=scale, has_mask=has_mask, window=window,
-                          wbw=wbw),
+                          wbw=wbw, wbh=wbh),
         out_shape=jax.ShapeDtypeStruct(y.shape, y.dtype),
         grid=grid,
         in_specs=in_specs,
@@ -494,21 +507,21 @@ def _fwd_impl_spatial(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
     )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def _window_block_spatial(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
-                          num_heads, scale, wbw, window, groups):
+                          num_heads, scale, wbw, window, groups, wbh):
     return _fwd_impl_spatial(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
-                             num_heads, scale, wbw, window, groups)
+                             num_heads, scale, wbw, window, groups, wbh)
 
 
 def _wbs_fwd(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj, num_heads,
-             scale, wbw, window, groups):
+             scale, wbw, window, groups, wbh):
     out = _fwd_impl_spatial(y, w_qkv, b_qkv, bias, mask, w_proj, b_proj,
-                            num_heads, scale, wbw, window, groups)
+                            num_heads, scale, wbw, window, groups, wbh)
     return out, (y, w_qkv, b_qkv, bias, mask, w_proj, b_proj)
 
 
-def _wbs_bwd(num_heads, scale, wbw, window, groups, res, do):
+def _wbs_bwd(num_heads, scale, wbw, window, groups, wbh, res, do):
     # recompute through the partially-fused reference path (XLA partition
     # transpose → window_attention kernel → reverse transpose): finetune
     # pays the transposes in the backward only; the forward never does
@@ -556,13 +569,49 @@ def window_block_spatial(y: jax.Array, w_qkv: jax.Array,
     if wbw == 0:
         raise ValueError("window_block_spatial working set exceeds VMEM; "
                          "check fits_spatial() before dispatching")
+    wbh = pick_row_band(Hp // w, nWc, wbw, _pad_sublane(w * w), C,
+                        num_heads, mask is not None, groups)
     if b_qkv is None:
         b_qkv = jnp.zeros((3 * C,), y.dtype)
     if b_proj is None:
         b_proj = jnp.zeros((C,), y.dtype)
     return _window_block_spatial(y, w_qkv, b_qkv.reshape(1, 3 * C), bias,
                                  mask, w_proj, b_proj.reshape(1, C),
-                                 num_heads, float(scale), wbw, w, groups)
+                                 num_heads, float(scale), wbw, w, groups,
+                                 wbh)
+
+
+def pick_row_band(nH: int, nWc: int, wbw: int, N: int, C: int, H: int,
+                  has_mask: bool, groups: int) -> int:
+    """WBh (window ROWS per program) for the band kernel: multi-row bands
+    amortize per-program fixed costs and fatten the per-program matmuls at
+    the small-C stages (PERF.md round-5 swin_tiny decomposition: stages
+    0/1 run 9-16% MFU with 4.8 µs programs).  Requires full-row wbw (mask
+    rows stay contiguous) and wbh | nH.  The activation budget is the
+    same table the wbw picker uses, applied to the whole wbh·wbw band.
+    ``VITX_WBH`` overrides (int; 1 disables)."""
+    import os
+    env = os.environ.get("VITX_WBH", "")
+    if env:
+        v = max(1, int(env))
+        while v > 1 and (nH % v or wbw != nWc):
+            v -= 1
+        return v
+    if wbw != nWc or groups != 1:
+        return 1
+    act_budget = _ACT_ELEMS_MASKED if has_mask else _ACT_ELEMS_NOMASK
+    wbh = min(nH, max(1, act_budget // max(1, wbw * N * C)))
+    while wbh > 1 and (nH % wbh or not _band_qkv_ok(wbh, wbw, N, C)):
+        wbh -= 1
+    return wbh
+
+
+def _band_qkv_ok(wbh: int, wbw: int, NP: int, C: int) -> bool:
+    """Mosaic scoped-VMEM guard for multi-row bands: the per-program fp32
+    qkv transient (WB·NP, 3C) is the allocation that tipped the b1 cell
+    (C=256, wbh=4 → 3.1 MB estimate) over the 16 MB scoped limit on-chip
+    while the s0 cell (C=96, wbh=4 → 2.36 MB) compiled — cap at 2.5 MB."""
+    return wbh * wbw * NP * 3 * C * 4 <= int(2.5 * 1024 * 1024)
 
 
 def pick_config_spatial(nWc: int, N: int, C: int, H: int, has_mask: bool,
