@@ -357,7 +357,7 @@ class DetectionTrainer:
                 body, (params, opt_state, rng), batches)
             return params, opt_state, logs, rng
 
-        def predict_vars(variables, batch):
+        def predict_vars(variables, batch, with_runs: bool = False):
             """Predict from a full flax variables dict — the serving
             export's entry (``serving/export.py``): it merges the
             prequantized ``int8`` collection in next to the params."""
@@ -370,28 +370,36 @@ class DetectionTrainer:
                 from vit_torch_tpu.detection.segmentation import (
                     mask_col_runs, pack_mask_bits, postprocess_segm)
                 # (B, Q, S, S) bool at letterbox resolution.  Two outputs:
-                # - per-column flip rows (mask_col_runs): the segm-eval hot
-                #   path — the host builds original-resolution RLE straight
-                #   in the run-length domain (O(runs), no per-pixel work);
                 # - bit-packed pixels: the panoptic rasterizer's input and
-                #   the fallback when a column's flips overflow the run cap
-                #   (evaluate() only transfers it when actually needed)
+                #   the run-cap-overflow fallback;
+                # - with_runs: per-column flip rows (mask_col_runs) — the
+                #   segm-eval hot path (host builds original-resolution
+                #   RLE in the run-length domain, no per-pixel work).
+                #   Opt-in: the top_k adds device time, and bbox-only
+                #   eval is DEVICE-bound (the round-5 first measurement
+                #   regressed bbox 66→40 img/s with runs always-on)
                 mb = postprocess_segm(outputs["pred_masks"], image_size)
-                runs, cnts = mask_col_runs(mb)
                 preds["masks_packed"] = pack_mask_bits(mb)
-                preds["mask_runs"] = runs
-                preds["mask_run_counts"] = cnts
+                if with_runs:
+                    runs, cnts = mask_col_runs(mb)
+                    preds["mask_runs"] = runs
+                    preds["mask_run_counts"] = cnts
             return preds
 
         @jax.jit
         def predict(params, batch):
             return predict_vars({"params": params}, batch)
 
+        @jax.jit
+        def predict_runs(params, batch):
+            return predict_vars({"params": params}, batch, with_runs=True)
+
         self._forward_costs = forward_costs
         self._train_step = train_step
         self._train_step_fused = train_step_fused
         self._train_chunk = train_chunk
         self._predict = predict
+        self._predict_runs = predict_runs
         self._predict_vars = predict_vars
 
     def set_lr(self, lr: float) -> None:
@@ -655,18 +663,18 @@ class DetectionTrainer:
             for batch in loader:
                 dev_batch = (_shard_batch(batch, mesh)
                              if mesh is not None else batch)
-                preds_dev = dict(self._predict(self.params, dev_batch))
+                # runs-domain specialization only when segm RLEs will
+                # actually be consumed (panoptic rasterizes pixels; bbox-
+                # only eval is device-bound and must not pay the top_k)
+                use_runs = want_masks and pq is None
+                pred_fn = (self._predict_runs if use_runs
+                           else self._predict)
+                preds_dev = dict(pred_fn(self.params, dev_batch))
                 packed_dev = None
                 if "mask_runs" in preds_dev:
-                    if pq is None:
-                        # runs-domain segm path: hold the packed pixels on
-                        # device (fetched only on run-cap overflow)
-                        packed_dev = preds_dev.pop("masks_packed", None)
-                    else:
-                        # panoptic rasterizes pixels anyway — skip the runs
-                        # transfer entirely
-                        preds_dev.pop("mask_runs")
-                        preds_dev.pop("mask_run_counts")
+                    # hold the packed pixels on device (fetched only on
+                    # run-cap overflow)
+                    packed_dev = preds_dev.pop("masks_packed", None)
                 jax.tree_util.tree_map(
                     lambda a: a.copy_to_host_async(), preds_dev)
                 if pending is not None:

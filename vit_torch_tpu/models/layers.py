@@ -157,8 +157,11 @@ class BatchNorm(nn.Module):
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
                 ra_var.value = m * ra_var.value + (1 - m) * (var * corr)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * scale + bias
+        # one fused multiplier (flax's association): keeps the scan and
+        # per-step train paths numerically aligned under XLA fusion (the
+        # FRCNN scan-parity test diverged at 1e-4 with a two-multiply form)
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x32 - mean) * mul + bias
         return y.astype(self.dtype)
 
 
