@@ -174,6 +174,78 @@ int rle_from_col_runs(const int32_t* runs, const int32_t* counts,
     return k;
 }
 
+// Original-resolution COCO RLE straight from a COLUMN-MAJOR bit-packed
+// letterbox mask: per output column, extract the value-flip rows from the
+// packed column bytes (skipping uniform 0x00/0xFF bytes — O(bytes+flips)
+// for real masks) and stitch with the same crop/nearest/merge walk as
+// rle_from_col_runs.  This keeps the cheap bit-packed D2H (the tunneled
+// transfer runs ~25 MB/s, so the 2-bytes-per-possible-flip runs arrays
+// measured SLOWER end-to-end than packed pixels) while still skipping all
+// per-pixel host work.  No flip-count cap — overflow cannot happen.
+//
+//   pk:       S * rowbytes uint8, column-major bits: column c's rows are
+//             pk[c*rowbytes ...], MSB-first within each byte
+//   S:        letterbox resolution (rows per column; rowbytes = ceil(S/8))
+//   xs, rinv, h, w, out, cap: exactly as rle_from_col_runs
+int rle_from_packed_cols(const uint8_t* pk, int S, int rowbytes,
+                         const int32_t* xs, const int32_t* rinv,
+                         int h, int w, uint32_t* out, int cap) {
+    std::vector<int> buf(S + 1);
+    int k = 0;
+    uint32_t run = 0;
+    uint8_t cur = 0;
+    for (int c = 0; c < w; ++c) {
+        const uint8_t* col = pk + (int64_t)xs[c] * rowbytes;
+        // extract flip rows (value stream starts at 0)
+        int m0 = 0;
+        uint8_t prev = 0;                   // previous bit value
+        for (int i = 0; i < rowbytes; ++i) {
+            uint8_t b = col[i];
+            uint8_t uni = prev ? 0xFF : 0x00;
+            if (b == uni) continue;         // uniform byte, no flips
+            int base = i * 8;
+            int lim = std::min(8, S - base);
+            for (int j = 0; j < lim; ++j) {
+                uint8_t bit = (b >> (7 - j)) & 1;
+                if (bit != prev) {
+                    buf[m0++] = base + j;
+                    prev = bit;
+                }
+            }
+        }
+        // map to output rows (cancel pairs landing between samples), then
+        // merge segments into the global column-major stream
+        int m = 0;
+        for (int i = 0; i < m0; ++i) {
+            int f = buf[i];
+            int r = (f <= 0) ? 0 : (f > S ? h : rinv[f]);
+            if (m > 0 && buf[m - 1] == r) --m;
+            else buf[m++] = r;
+        }
+        int pos = 0;
+        uint8_t v = 0;
+        for (int i = 0; i <= m; ++i) {
+            int r = (i < m) ? std::min(buf[i], h) : h;
+            int len = r - pos;
+            if (len > 0) {
+                if (v != cur) {
+                    if (k >= cap) return -1;
+                    out[k++] = run;
+                    run = 0;
+                    cur = v;
+                }
+                run += (uint32_t)len;
+            }
+            pos = r;
+            v ^= 1;
+            if (r >= h) break;
+        }
+    }
+    if (k >= cap) return -1;
+    out[k++] = run;
+    return k;
+}
+
 // bbox IoU with COCO iscrowd semantics. Boxes are xywh.
 void bbox_iou(const double* dt, int n_dt, const double* gt, int n_gt,
               const uint8_t* iscrowd, double* out) {

@@ -274,3 +274,36 @@ def test_rle_from_col_runs_overflow_returns_none():
                                   np.asarray(counts)[0], scale=1.0,
                                   pad=(0, 0), orig_size=(S, S))
     assert got is None
+
+
+@pytest.mark.parametrize("orig,scale,pad", [
+    ((64, 64), 1.0, (0, 0)),
+    ((128, 96), 0.5, (8, 0)),
+    ((50, 70), 0.9, (0, 9)),
+    ((30, 20), 2.0, (12, 2)),
+])
+def test_rle_from_packed_cols_matches_pixel_path(orig, scale, pad):
+    """Column-packed path (the shipped segm-eval hot path) == the pixel
+    chain exactly — native and numpy fallback; includes a checkerboard
+    (worst-case flips, no cap in this design)."""
+    from vit_torch_tpu.detection import _mask
+    from vit_torch_tpu.detection.engine import _unletterbox_masks
+    from vit_torch_tpu.detection.segmentation import pack_mask_bits
+    S = 64
+    masks = _blob_masks(4, S, seed=21, holes=True)
+    masks[3] = np.indices((S, S)).sum(0) % 2 == 0       # checkerboard
+    pk = np.asarray(pack_mask_bits(
+        jnp.swapaxes(jnp.asarray(masks), -1, -2)))
+    pixel = _unletterbox_masks(masks.astype(np.uint8), scale,
+                               np.asarray(pad), np.asarray(orig))
+    for i in range(masks.shape[0]):
+        want = _mask.encode(pixel[i])
+        got = _mask.rle_from_packed_cols(pk[i], S, scale=scale, pad=pad,
+                                         orig_size=orig)
+        assert got["size"] == want["size"]
+        assert list(got["counts"]) == list(want["counts"]), (i, orig)
+        import unittest.mock as mock
+        with mock.patch.object(_mask, "_load_lib", lambda: None):
+            got2 = _mask.rle_from_packed_cols(pk[i], S, scale=scale,
+                                              pad=pad, orig_size=orig)
+        assert list(got2["counts"]) == list(want["counts"])

@@ -67,9 +67,80 @@ def encode(mask: np.ndarray) -> dict:
     return {"size": [h, w], "counts": runs}
 
 
+def col_runs_geometry(S: int, *, scale: float, pad: Sequence[int],
+                      orig_size: Sequence[int]):
+    """Per-IMAGE crop/nearest-resize geometry for :func:`rle_from_col_runs`
+    — hoist out of the per-mask loop (an image's masks share it).
+    Returns ``(xs, rinv, h, w)`` or the string ``"degenerate"``."""
+    h, w = int(orig_size[0]), int(orig_size[1])
+    nh = int(round(h * float(scale)))
+    nw = int(round(w * float(scale)))
+    px, py = int(pad[0]), int(pad[1])
+    if nh <= 0 or nw <= 0:
+        return "degenerate"
+    xs = (px + np.clip(np.floor((np.arange(w) + 0.5) * nw / w), 0,
+                       nw - 1).astype(np.int64)).astype(np.int32)
+    L = py + np.clip(np.floor((np.arange(h) + 0.5) * nh / h), 0,
+                     nh - 1).astype(np.int64)
+    rinv = np.searchsorted(L, np.arange(S + 1),
+                           side="left").astype(np.int32)
+    return xs, rinv, h, w
+
+
+def rle_from_packed_cols(packed: np.ndarray, S: int, *,
+                         orig_size: Sequence[int],
+                         scale: float = None, pad: Sequence[int] = None,
+                         geom=None) -> dict:
+    """Original-resolution COCO RLE straight from a COLUMN-MAJOR
+    bit-packed letterbox mask ((S, ceil(S/8)) uint8, MSB-first —
+    ``pack_mask_bits`` over the transposed mask).  The C side extracts
+    per-column flips with uniform-byte skipping and stitches in the
+    run-length domain — bit-exact vs
+    ``rle_encode(_unletterbox_masks(mask))`` (pinned by
+    tests/test_segmentation.py), no per-pixel host work, no flip cap.
+    Keeps the 8-bits-per-pixel D2H (the tunneled transfer made wider
+    runs arrays a net loss — PERF.md eval ledger)."""
+    packed = np.ascontiguousarray(packed, np.uint8)
+    rowbytes = packed.shape[-1]
+    if geom is None:
+        geom = col_runs_geometry(S, scale=scale, pad=pad,
+                                 orig_size=orig_size)
+    if geom == "degenerate":
+        h, w = int(orig_size[0]), int(orig_size[1])
+        return {"size": [h, w], "counts": [h * w]}
+    xs, rinv, h, w = geom
+    lib = _load_lib()
+    if lib is not None:
+        cap = h * w + 2
+        out = np.zeros(cap, np.uint32)
+        n = lib.rle_from_packed_cols(
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            S, rowbytes,
+            xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            rinv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            h, w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), cap)
+        assert n > 0, "RLE capacity exceeded"
+        return {"size": [h, w], "counts": out[:n].tolist()}
+    # numpy fallback: unpack the columns, derive flips, reuse the runs
+    # stitcher (correctness path only — the native lib is the fast path)
+    bits = np.unpackbits(packed, axis=-1)[:, :S]          # (S_cols, S_rows)
+    prev = np.concatenate([np.zeros((bits.shape[0], 1), bits.dtype),
+                           bits[:, :-1]], axis=1)
+    t = bits != prev
+    counts = t.sum(axis=1).astype(np.int32)
+    R = max(1, int(counts.max()))
+    runs = np.full((bits.shape[0], R), S, np.int32)
+    for c in np.nonzero(counts)[0]:
+        f = np.flatnonzero(t[c])
+        runs[c, :len(f)] = f
+    return rle_from_col_runs(runs, counts, orig_size=orig_size, geom=geom)
+
+
 def rle_from_col_runs(runs: np.ndarray, counts: np.ndarray, *,
-                      scale: float, pad: Sequence[int],
-                      orig_size: Sequence[int]) -> Optional[dict]:
+                      scale: float = None, pad: Sequence[int] = None,
+                      orig_size: Sequence[int] = None,
+                      geom=None) -> Optional[dict]:
     """Original-resolution COCO RLE straight from per-COLUMN flip rows of a
     letterbox-resolution mask (``segmentation.mask_col_runs`` output) —
     crop + nearest resize + encode all in the run-length domain, O(w·flips)
@@ -84,18 +155,13 @@ def rle_from_col_runs(runs: np.ndarray, counts: np.ndarray, *,
     runs = np.ascontiguousarray(runs, np.int32)
     counts = np.ascontiguousarray(counts, np.int32)
     S, R = runs.shape
-    h, w = int(orig_size[0]), int(orig_size[1])
-    nh = int(round(h * float(scale)))
-    nw = int(round(w * float(scale)))
-    px, py = int(pad[0]), int(pad[1])
-    if nh <= 0 or nw <= 0:
+    if geom is None:
+        geom = col_runs_geometry(S, scale=scale, pad=pad,
+                                 orig_size=orig_size)
+    if geom == "degenerate":
+        h, w = int(orig_size[0]), int(orig_size[1])
         return {"size": [h, w], "counts": [h * w]}
-    xs = (px + np.clip(np.floor((np.arange(w) + 0.5) * nw / w), 0,
-                       nw - 1).astype(np.int64)).astype(np.int32)
-    L = py + np.clip(np.floor((np.arange(h) + 0.5) * nh / h), 0,
-                     nh - 1).astype(np.int64)
-    rinv = np.searchsorted(L, np.arange(S + 1),
-                           side="left").astype(np.int32)
+    xs, rinv, h, w = geom
     lib = _load_lib()
     if lib is not None:
         cap = w * (R + 1) + 2

@@ -368,22 +368,23 @@ class DetectionTrainer:
                                 jnp.asarray(batch["pad"]))
             if masks_on and "pred_masks" in outputs:
                 from vit_torch_tpu.detection.segmentation import (
-                    mask_col_runs, pack_mask_bits, postprocess_segm)
-                # (B, Q, S, S) bool at letterbox resolution.  Two outputs:
-                # - bit-packed pixels: the panoptic rasterizer's input and
-                #   the run-cap-overflow fallback;
-                # - with_runs: per-column flip rows (mask_col_runs) — the
-                #   segm-eval hot path (host builds original-resolution
-                #   RLE in the run-length domain, no per-pixel work).
-                #   Opt-in: the top_k adds device time, and bbox-only
-                #   eval is DEVICE-bound (the round-5 first measurement
-                #   regressed bbox 66→40 img/s with runs always-on)
+                    pack_mask_bits, postprocess_segm)
+                # (B, Q, S, S) bool at letterbox resolution, bit-packed
+                # for the D2H (the transfer dominates eval wall on the
+                # tunneled chip — PERF.md ledger)
                 mb = postprocess_segm(outputs["pred_masks"], image_size)
-                preds["masks_packed"] = pack_mask_bits(mb)
                 if with_runs:
-                    runs, cnts = mask_col_runs(mb)
-                    preds["mask_runs"] = runs
-                    preds["mask_run_counts"] = cnts
+                    # COLUMN-major packing: same 1-bit-per-pixel D2H, but
+                    # the host C stitcher reads flips per RLE column with
+                    # uniform-byte skipping — no per-pixel host work and
+                    # no flip cap.  (Two earlier designs measured worse at
+                    # the 1k-image scale: device top_k runs arrays paid a
+                    # sort, and wide runs arrays paid 4.6x the transfer
+                    # on the ~25 MB/s tunnel — PERF.md eval ledger.)
+                    preds["masks_packed_cols"] = pack_mask_bits(
+                        jnp.swapaxes(mb, -1, -2))
+                else:
+                    preds["masks_packed"] = pack_mask_bits(mb)
             return preds
 
         @jax.jit
@@ -558,7 +559,7 @@ class DetectionTrainer:
             """Per-image host post-processing (pure → runs in the pool):
             score filter, label remap, mask RLE / un-letterbox, PQ
             rasterize."""
-            preds, batch, b, get_packed = args
+            preds, batch, b = args
             keep = preds["scores"][b] >= score_threshold
             labels = preds["labels"][b][keep]
             if label_to_cat:
@@ -581,27 +582,23 @@ class DetectionTrainer:
                     batch["orig_size"][b])
 
             masks = None
-            if want_masks and "mask_runs" in preds:
+            if want_masks and "masks_packed_cols" in preds:
                 # run-length-domain path: original-resolution RLE straight
-                # from the device's per-column flip rows — no per-pixel
-                # host work (PERF.md eval-at-scale ledger; the pixel chain
-                # was 95% of segm-eval wall on this 1-core box)
-                runs = np.asarray(preds["mask_runs"][b][keep])
-                cnts = np.asarray(preds["mask_run_counts"][b][keep])
-                rles = [
-                    _mask.rle_from_col_runs(
-                        runs[i], cnts[i], scale=float(batch["scale"][b]),
-                        pad=batch["pad"][b],
-                        orig_size=batch["orig_size"][b])
-                    for i in range(runs.shape[0])]
-                if any(r is None for r in rles):
-                    # flip count overflowed the device run cap for some
-                    # mask: decode those from the lazily-fetched packed
-                    # pixels (transferred only when this happens)
-                    pix = _pixel_masks(get_packed()[b][keep])
-                    rles = [r if r is not None else _mask.encode(pix[i])
-                            for i, r in enumerate(rles)]
-                update["segm_rles"] = rles
+                # from the column-major bit-packed masks — the C stitcher
+                # extracts per-column flips with uniform-byte skipping, so
+                # no per-pixel host work (the pixel chain was 95% of
+                # segm-eval wall on this 1-core box) and the D2H stays at
+                # 1 bit/pixel (PERF.md eval-at-scale ledger)
+                pk = np.asarray(preds["masks_packed_cols"][b][keep])
+                S = self.image_size
+                geom = _mask.col_runs_geometry(
+                    S, scale=float(batch["scale"][b]),
+                    pad=batch["pad"][b], orig_size=batch["orig_size"][b])
+                update["segm_rles"] = [
+                    _mask.rle_from_packed_cols(
+                        pk[i], S, orig_size=batch["orig_size"][b],
+                        geom=geom)
+                    for i in range(pk.shape[0])]
             elif want_masks and "masks_packed" in preds:
                 masks = _pixel_masks(preds["masks_packed"][b][keep])
             elif want_masks and "masks" in preds:
@@ -624,22 +621,11 @@ class DetectionTrainer:
         self.last_eval_profile = prof
         with ThreadPoolExecutor(max_workers=8) as pool:
 
-            def _drain(batch, preds_dev, packed_dev):
+            def _drain(batch, preds_dev):
                 t0 = time.perf_counter()
                 preds = jax.device_get(preds_dev)
                 t1 = time.perf_counter()
-                from threading import Lock
-                cell, lock = {}, Lock()
-
-                def get_packed():
-                    # memoized on-demand transfer of the packed pixel masks
-                    # (only paid when a mask overflows the device run cap)
-                    with lock:
-                        if "v" not in cell:
-                            cell["v"] = np.asarray(jax.device_get(packed_dev))
-                    return cell["v"]
-
-                todo = [(preds, batch, b, get_packed)
+                todo = [(preds, batch, b)
                         for b in range(len(batch["image_id"]))
                         if batch["mask"][b] != 0]
                 # heavy per-image work in the pool; the stateful evaluator
@@ -663,23 +649,17 @@ class DetectionTrainer:
             for batch in loader:
                 dev_batch = (_shard_batch(batch, mesh)
                              if mesh is not None else batch)
-                # runs-domain specialization only when segm RLEs will
-                # actually be consumed (panoptic rasterizes pixels; bbox-
-                # only eval is device-bound and must not pay the top_k)
+                # column-packed specialization only when segm RLEs will
+                # actually be consumed (panoptic rasterizes pixels)
                 use_runs = want_masks and pq is None
                 pred_fn = (self._predict_runs if use_runs
                            else self._predict)
                 preds_dev = dict(pred_fn(self.params, dev_batch))
-                packed_dev = None
-                if "mask_runs" in preds_dev:
-                    # hold the packed pixels on device (fetched only on
-                    # run-cap overflow)
-                    packed_dev = preds_dev.pop("masks_packed", None)
                 jax.tree_util.tree_map(
                     lambda a: a.copy_to_host_async(), preds_dev)
                 if pending is not None:
                     _drain(*pending)
-                pending = (batch, preds_dev, packed_dev)
+                pending = (batch, preds_dev)
             if pending is not None:
                 _drain(*pending)
         t0 = time.perf_counter()

@@ -262,15 +262,21 @@ def mask_col_runs(masks: jnp.ndarray, max_runs: int = 24):
     + ``top_k`` per column while it is otherwise idle behind the
     host-bound segm eval (PERF.md eval-at-scale ledger)."""
     S = masks.shape[-1]
-    m = jnp.swapaxes(masks.astype(jnp.int32), -1, -2)     # (..., col, row)
+    m = jnp.swapaxes(masks.astype(jnp.int8), -1, -2)      # (..., col, row)
     prev = jnp.concatenate([jnp.zeros_like(m[..., :1]), m[..., :-1]], -1)
     t = m != prev
-    counts = jnp.sum(t, axis=-1, dtype=jnp.int32)
+    # ordinal of each flip within its column; the j-th flip's row is a
+    # one-hot masked reduction over rows.  This is a pure elementwise +
+    # reduce pattern XLA fuses without materializing the (..., S, S, R)
+    # selector — top_k was tried first and its sort dominated eval device
+    # time at R≳32 (t_get 0.74→23.5 s at the 1k-image scale)
+    k = jnp.cumsum(t.astype(jnp.int32), axis=-1)          # (..., col, row)
+    counts = k[..., -1]
     row = jnp.arange(S, dtype=jnp.int32)
-    # smallest-R flip rows, ascending: top_k over reversed keys
-    key = jnp.where(t, S - row, -1)
-    vals, _ = jax.lax.top_k(key, max_runs)                # descending
-    runs = jnp.where(vals > 0, S - vals, S)
+    ordinal = jnp.arange(1, max_runs + 1, dtype=jnp.int32)
+    sel = t[..., None] & (k[..., None] == ordinal)        # (..., col, row, R)
+    runs = jnp.sum(jnp.where(sel, row[:, None], 0), axis=-2)
+    runs = jnp.where(ordinal[None] <= counts[..., None], runs, S)
     return runs.astype(jnp.int16), counts.astype(jnp.int16)
 
 
