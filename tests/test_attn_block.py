@@ -90,3 +90,45 @@ def test_attention_block_in_attention_module(monkeypatch):
     ours = m.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                atol=5e-5, rtol=1e-4)
+
+
+# --------------------------------------------------------------- packed
+@pytest.mark.parametrize("B,N", [(11, 17), (8, 16), (3, 33)])
+def test_attention_block_packed_forward(B, N):
+    """Packed small-N kernel (several images per program, block-diagonal
+    mask) == the reference on every token of every image, incl. batches
+    that do not fill the last program."""
+    from vit_torch_tpu.ops.attn_block import (
+        attention_block_packed, fits_packed)
+    x, w_qkv, b_qkv, w_proj, b_proj = _inputs(B=B, N=N, seed=5)
+    assert fits_packed(N, x.shape[-1], 4)
+    ours = attention_block_packed(x, w_qkv, b_qkv, w_proj, b_proj,
+                                  num_heads=4)
+    ref = _ref(x, w_qkv, b_qkv, w_proj, b_proj, 4)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_attention_block_packed_backward():
+    from vit_torch_tpu.ops.attn_block import attention_block_packed
+    x, w_qkv, b_qkv, w_proj, b_proj = _inputs(B=6, N=17, seed=6)
+
+    def loss_ours(*a):
+        return jnp.sum(attention_block_packed(*a, num_heads=4) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(_ref(*a, 4) ** 2)
+
+    args = (x, w_qkv, b_qkv, w_proj, b_proj)
+    go = jax.grad(loss_ours, argnums=tuple(range(5)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(5)))(*args)
+    for a, b in zip(go, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=3e-3)
+
+
+def test_fits_packed_gates():
+    from vit_torch_tpu.ops.attn_block import fits_packed
+    assert fits_packed(17, 768, 12)          # the CIFAR@32px ViT-B shape
+    assert not fits_packed(197, 768, 12)     # long sequences: flash path
+    assert not fits_packed(17, 96, 3)        # non-lane-aligned channels

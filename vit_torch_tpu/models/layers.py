@@ -508,6 +508,37 @@ def _attn_fused_block(x, num_heads: int) -> bool:
             and not flash_profitable(N, num_heads, C // num_heads))
 
 
+def _attn_packed_small(x, num_heads: int) -> bool:
+    """Dispatch to the packed small-N fused attention kernel
+    (``ops/attn_block.py:attention_block_packed``): several images share
+    one program row-block with a block-diagonal mask.
+
+    Targets the regime BOTH other kernels refuse — the reference's
+    actual CIFAR finetune shape (32px → N=17, bs128) runs its attention
+    module at ~25% of the MLP's efficiency through the XLA path (51% of
+    the step, ``examples/perf/vit32_step_decompose.json``).
+
+    DEFAULT OFF (opt-in via VITX_PACKED_ATTN=1): three on-chip A/Bs of
+    the full finetune step (``examples/perf/packed_attn_ab.json`` +
+    PERF.md small-N ledger) measured the kernel LOSING the train step —
+    recompute backward 7979, analytic-backward-over-saved-qkv 8220 vs
+    XLA 8835-8944 img/s.  The fused forward's relayout savings are
+    cancelled by the backward's structural extras (the qkv residual
+    write + the einsum attention core the VJP must still run at N=17).
+    The kernel remains a correct, tested opt-in for forward-only
+    short-sequence serving."""
+    import os
+    flag = os.environ.get("VITX_PACKED_ATTN", "")
+    if flag != "1":
+        return False
+    from vit_torch_tpu.ops.attention import _active_seq_mesh
+    if _active_seq_mesh() is not None:
+        return False
+    from vit_torch_tpu.ops.attn_block import fits_packed
+    B, N, C = x.shape
+    return N <= 32 and fits_packed(N, C, num_heads)
+
+
 def _attn_bhnd_layout(x, num_heads: int) -> bool:
     """Dispatch the (B, H, N, D)-layout attention path (einsum-formed q/k/v
     feeding the flash kernel without host-visible transposes).
@@ -590,6 +621,16 @@ class Attention(nn.Module):
                     qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], scale=scale)
                 out = out.reshape(B, N, C)
             out = w8a8_dot(out, w_proj, b_proj, pre=pre_proj)
+        elif _attn_packed_small(x, H):
+            # packed small-N fused kernel: several images per program with
+            # a block-diagonal mask — the short-sequence regime both other
+            # kernels refuse (N=17 pads to the 128-row chunk)
+            from vit_torch_tpu.ops.attn_block import attention_block_packed
+            out = attention_block_packed(
+                x, w_qkv.astype(dt),
+                None if b_qkv is None else b_qkv.astype(dt),
+                w_proj.astype(dt), b_proj.astype(dt),
+                num_heads=H, scale=scale)
         elif _attn_fused_block(x, H):
             # fully-fused Pallas kernel: qkv matmul + attention + proj in
             # one program — q/k/v/attn-out never touch HBM

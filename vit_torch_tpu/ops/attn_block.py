@@ -206,3 +206,195 @@ def attention_block(x: jax.Array, w_qkv: jax.Array,
         b_proj = jnp.zeros((C,), x.dtype)
     return _attn_block(x, w_qkv, b_qkv.reshape(1, 3 * C), w_proj,
                        b_proj.reshape(1, C), num_heads, float(scale))
+
+
+# ---------------------------------------------------------------------------
+# packed small-N variant: several IMAGES per program, block-diagonal mask
+# ---------------------------------------------------------------------------
+#
+# The reference's actual CIFAR finetune operating point (dino_vitb8 @32px,
+# N=17 tokens, bs128 — logs/stats_master_210624.json "210623_155824") is
+# guarded out of both the flash and the chunked fused kernel: N=17 pads to
+# the 128-row chunk (7.5× wasted rows, measured 4040 vs 8936 img/s forced
+# on).  The XLA einsum path it falls back to spends 51% of the train step
+# in the attention module at ~25% of the MLP's efficiency
+# (examples/perf/vit32_step_decompose.json) — head-split relayouts and
+# lane-padded softmax at 17 tokens, not matmul FLOPs.
+#
+# This variant packs G = ⌊128 / round_up(N, 8)⌋ images into ONE program row
+# block (N=17 → 5 images × 24 rows = 120 rows, 71% dense vs 13% chunked):
+# one fat qkv matmul, per-head attention over the packed rows with a
+# block-diagonal (image-identity × kv_len) mask, one proj — everything
+# VMEM-resident, no relayouts.  Padded query rows compute garbage finite
+# values and are sliced off host-side.
+
+_PACK_ROWS = 128
+
+
+def _kernel_packed(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, o_ref,
+                   qkv_ref, *, num_heads: int, scale: float, npi: int,
+                   kv_len: int):
+    ROWS, C = x_ref.shape[1], x_ref.shape[2]
+    H, D = num_heads, C // num_heads
+    x = x_ref[0]                                       # (ROWS, C)
+    qkv = jax.lax.dot(x, wqkv_ref[...],
+                      preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(x.dtype)
+    # saved for the analytic backward: avoids re-running the qkv matmul
+    # in the VJP (a recompute backward measured -10% on the whole
+    # finetune step -- the extra fwd matmuls cost more than the packed
+    # forward saves)
+    qkv_ref[0] = qkv
+    row = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
+    same_img = (row // npi) == (col // npi)
+    col_ok = (col % npi) < kv_len
+    heads = []
+    for h in range(H):
+        q = qkv[:, h * D:(h + 1) * D]
+        k = qkv[:, C + h * D:C + (h + 1) * D]
+        v = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = jnp.where(same_img & col_ok, s, MASK_VALUE)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+        heads.append((o / l).astype(x.dtype))
+    attn = jnp.concatenate(heads, axis=-1)
+    out = jax.lax.dot(attn, wproj_ref[...],
+                      preferred_element_type=jnp.float32)
+    out = out + bproj_ref[...].astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _fwd_impl_packed(x, w_qkv, b_qkv, w_proj, b_proj, num_heads, scale):
+    B, N, C = x.shape
+    npi = _round_up(N, 8)
+    G = max(1, _PACK_ROWS // npi)
+    ROWS = G * npi
+    BP = -(-B // G) * G
+    xp = jnp.pad(x, ((0, BP - B), (0, npi - N), (0, 0)))
+    xg = xp.reshape(BP // G, ROWS, C)
+    out, qkv = pl.pallas_call(
+        functools.partial(_kernel_packed, num_heads=num_heads, scale=scale,
+                          npi=npi, kv_len=N),
+        out_shape=(jax.ShapeDtypeStruct((BP // G, ROWS, C), x.dtype),
+                   jax.ShapeDtypeStruct((BP // G, ROWS, 3 * C), x.dtype)),
+        grid=(BP // G,),
+        in_specs=[
+            pl.BlockSpec((1, ROWS, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((C, 3 * C), lambda b: (0, 0)),
+            pl.BlockSpec((1, 3 * C), lambda b: (0, 0)),
+            pl.BlockSpec((C, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, ROWS, C), lambda b: (b, 0, 0)),
+                   pl.BlockSpec((1, ROWS, 3 * C), lambda b: (b, 0, 0))),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(xg, w_qkv, b_qkv, w_proj, b_proj)
+    out = out.reshape(BP, npi, C)[:B, :N]
+    qkv = qkv.reshape(BP, npi, 3 * C)[:B, :N]
+    return out, qkv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _attn_block_packed(x, w_qkv, b_qkv, w_proj, b_proj, num_heads, scale):
+    out, _ = _fwd_impl_packed(x, w_qkv, b_qkv, w_proj, b_proj, num_heads,
+                              scale)
+    return out
+
+
+def _abp_fwd(x, w_qkv, b_qkv, w_proj, b_proj, num_heads, scale):
+    out, qkv = _fwd_impl_packed(x, w_qkv, b_qkv, w_proj, b_proj,
+                                num_heads, scale)
+    return out, (x, qkv, w_qkv, w_proj, b_proj)
+
+
+def _ref_forward_small(x, w_qkv, b_qkv, w_proj, b_proj, num_heads, scale):
+    """Plain-einsum attention (NO flash kernel): the packed kernel's
+    backward recompute path.  At the short sequences this kernel serves,
+    routing the recompute through ``_ref_forward``'s flash call pads N to
+    the 128-row chunk and measured −42% on the whole finetune step —
+    exactly the pathology the packed forward avoids."""
+    B, N, C = x.shape
+    D = C // num_heads
+    qkv = (jnp.dot(x, w_qkv) + b_qkv[0].astype(x.dtype))
+    qkv = qkv.reshape(B, N, 3, num_heads, D)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, N, C)
+    return jnp.dot(o, w_proj) + b_proj[0].astype(x.dtype)
+
+
+def _abp_bwd(num_heads, scale, res, do):
+    # analytic backward over the SAVED qkv: only the tiny attention core
+    # (N x N score einsums) is recomputed; the qkv/proj matmuls run once
+    # each as gradient contractions, never as recompute
+    x, qkv, w_qkv, w_proj, b_proj = res
+    B, N, C = x.shape
+    H = num_heads
+    D = C // H
+    dt = x.dtype
+
+    def core(qkv_):
+        q3 = qkv_.reshape(B, N, 3, H, D)
+        q, k, v = q3[:, :, 0], q3[:, :, 1], q3[:, :, 2]
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1).astype(dt)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, N, C)
+
+    attn_out, core_vjp = jax.vjp(core, qkv)
+    do_ = do.astype(dt)
+    dattn = jnp.dot(do_, w_proj.T)
+    dw_proj = jnp.einsum("bnc,bnd->cd", attn_out, do_)
+    db_proj = jnp.sum(do_, axis=(0, 1))[None].astype(b_proj.dtype)
+    dqkv = core_vjp(dattn)[0]
+    dx = jnp.dot(dqkv, w_qkv.T)
+    dw_qkv = jnp.einsum("bnc,bnd->cd", x, dqkv)
+    db_qkv = jnp.sum(dqkv, axis=(0, 1))[None]
+    return dx, dw_qkv, db_qkv, dw_proj, db_proj
+
+
+_attn_block_packed.defvjp(_abp_fwd, _abp_bwd)
+
+
+def fits_packed(N: int, C: int, num_heads: int) -> bool:
+    """True when the packed small-N kernel serves these shapes: short
+    sequences only (the pack must fit multiple images per row block to
+    beat XLA), lane-aligned channels, 32-lane head slices."""
+    if N > 48 or C % _LANE or C % num_heads or (C // num_heads) % 32:
+        return False
+    weights = (C * 3 * C + C * C) * 2 + 4 * C * 4
+    rows = max(1, _PACK_ROWS // _round_up(N, 8)) * _round_up(N, 8)
+    transients = rows * 3 * C * 4 + 2 * rows * rows * 4 + 4 * rows * C * 2
+    return weights + transients <= _VMEM_BUDGET
+
+
+def attention_block_packed(x: jax.Array, w_qkv: jax.Array,
+                           b_qkv: Optional[jax.Array], w_proj: jax.Array,
+                           b_proj: Optional[jax.Array], *, num_heads: int,
+                           scale: Optional[float] = None) -> jax.Array:
+    """Fused qkv→attention→proj for SHORT sequences, multiple images per
+    program (block-diagonal mask).  Differentiable in all array inputs.
+    Call :func:`fits_packed` first."""
+    B, N, C = x.shape
+    if scale is None:
+        scale = (C // num_heads) ** -0.5
+    if not fits_packed(N, C, num_heads):
+        raise ValueError("attention_block_packed: shapes not servable; "
+                         "check fits_packed() before dispatching")
+    if b_qkv is None:
+        b_qkv = jnp.zeros((3 * C,), x.dtype)
+    if b_proj is None:
+        b_proj = jnp.zeros((C,), x.dtype)
+    return _attn_block_packed(x, w_qkv, b_qkv.reshape(1, 3 * C), w_proj,
+                              b_proj.reshape(1, C), num_heads, float(scale))
