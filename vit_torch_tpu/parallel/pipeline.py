@@ -236,7 +236,10 @@ def vit_pipeline_features(config, rest: dict, blocks, x: jax.Array,
 
     h = pipeline_apply(block_fn, blocks, h, mesh,
                        num_microbatches=num_microbatches)
-    h = LayerNorm(dtype=dtype).apply({"params": rest["norm"]}, h)
+    # ViT-family final norm uses eps 1e-6 (models/vit.py, reference
+    # vision_all.py:330) — must match the full model exactly
+    h = LayerNorm(epsilon=1e-6, dtype=dtype).apply(
+        {"params": rest["norm"]}, h)
     return h if return_all_tokens else h[:, 0]
 
 
